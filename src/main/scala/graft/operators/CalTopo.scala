@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline (`/root/reference/task.ts:90-159`) re-expressed as
+  * composable DataFrame stages. Each stage is a pure `DataFrame => DataFrame`
+  * so Catalyst sees one declarative plan across the whole flagship query —
+  * filters collapse into the scan, struct ops stay in whole-stage codegen,
+  * and the folder join is an explicit broadcast (the dimension is tiny by
+  * construction, exactly like the reference's in-memory `Map`,
+  * `task.ts:90`).
+  *
+  * Divergences from the reference, all documented per SURVEY.md §7.4:
+  *  - JS `undefined` vs `null`: parquet can't express absent-vs-null, so
+  *    "copy if present" (`task.ts:116-120`) becomes "copy if non-null".
+  *  - `metadata.ico`/`metadata.icon` (`task.ts:121`) reads a field the Output
+  *    schema never declares — dead code for schema-valid inputs; not modeled.
+  *  - `delete metadata['marker-color']` (`task.ts:134`) becomes nullify.
+  *  - JS falsy semantics (`''` is falsy: `task.ts:114,132,144`) are encoded
+  *    explicitly as `isNull || === ""` checks.
+  */
+object CalTopo {
+
+  /** A4 — dimension extraction: the `folders` Map (`task.ts:90,93-96`).
+    * Includes every class='Folder' feature regardless of geometry.
+    */
+  def folderDim(features: DataFrame): DataFrame =
+    features.filter(col("class") === "Folder")
+      .select(col("id").as("fid"), col("title").as("ftitle"))
+
+  /** A5 — main flow: drop folders, drop geometry-less features
+    * (`task.ts:97-100`; SARTopo "Operational Periods" have no geometry).
+    */
+  def mainFlow(features: DataFrame): DataFrame =
+    features.filter(col("class") =!= "Folder" && col("geometry").isNotNull)
+
+  private val metadataCols = Seq(
+    "title", "description", "class", "creator", "updated",
+    "marker_symbol", "marker_rotation", "marker_color", "marker_size",
+    "stroke", "stroke_opacity", "stroke_width", "pattern",
+    "fill", "fill_opacity", "folder_id", "visible", "label_visible")
+
+  /** A6 — restructure: `{id, type:'Feature', properties:{metadata: <all
+    * source props>}, geometry}` (`task.ts:102-111`).
+    */
+  def projectNest(main: DataFrame): DataFrame =
+    main.select(
+      col("id"),
+      lit("Feature").as("type"),
+      struct(struct(metadataCols.map(col): _*).as("metadata")).as("properties"),
+      col("geometry"))
+
+  /** A7/A8/A9/A11 — callsign cast-rename (`task.ts:113`), falsy-coalescing
+    * remarks (`task.ts:114`), conditional style copies with numeric casts
+    * (`task.ts:116-120`), constant `archived = true` (`task.ts:128`).
+    */
+  def enrichProperties(df: DataFrame): DataFrame = {
+    val m = (f: String) => col(s"properties.metadata.$f")
+    df.withColumn("properties",
+      col("properties")
+        .withField("callsign", m("title").cast("string"))
+        .withField("remarks",
+          when(m("description").isNull || m("description") === "", lit(""))
+            .otherwise(m("description").cast("string")))
+        .withField("fill", m("fill").cast("string"))
+        .withField("fill_opacity", m("fill_opacity").cast("double"))
+        .withField("stroke", m("stroke").cast("string"))
+        .withField("stroke_opacity", m("stroke_opacity").cast("double"))
+        .withField("stroke_width", m("stroke_width").cast("double"))
+        .withField("archived", lit(true)))
+  }
+
+  /** A10 — generic GeoJSON coordinate truncation to ≤3 components
+    * (`coordEach(..., coord => coord.splice(3))`, `task.ts:123-126`). The
+    * reference mutates in place; the observable behavior is a pure
+    * `slice(pos, 1, 3)` on every position of any geometry rank. Coordinates
+    * travel as JSON text (SURVEY.md §7.4): parse at the rank implied by the
+    * geometry type with `from_json`, truncate with higher-order `transform`/
+    * `slice` (stays in codegen — no UDF), re-serialize with `to_json`.
+    */
+  def truncateGeometry(geom: Column): Column = {
+    val t = geom.getField("type")
+    val cs = geom.getField("coordinates")
+    val r1 = from_json(cs, "array<double>", Map.empty[String, String])
+    val r2 = from_json(cs, "array<array<double>>", Map.empty[String, String])
+    val r3 = from_json(cs, "array<array<array<double>>>", Map.empty[String, String])
+    val truncated =
+      when(t === "Point", to_json(slice(r1, 1, 3)))
+        .when(t.isin("LineString", "MultiPoint"),
+          to_json(transform(r2, p => slice(p, 1, 3))))
+        .when(t.isin("Polygon", "MultiLineString"),
+          to_json(transform(r3, ring => transform(ring, p => slice(p, 1, 3)))))
+        .otherwise(cs)
+    when(geom.isNull, geom)
+      .otherwise(struct(t.as("type"), truncated.as("coordinates")))
+  }
+
+  def coordTruncate(df: DataFrame): DataFrame =
+    df.withColumn("geometry", truncateGeometry(col("geometry")))
+
+  /** A12 — point branch (`task.ts:129-137`): CoT type `u-d-p`; truthy
+    * marker-color gets '#'-prefixed + `marker-opacity = 1` and is removed
+    * from metadata (empty string is falsy — untouched, `task.ts:132`).
+    */
+  def pointEnrich(df: DataFrame): DataFrame = {
+    val mc = col("properties.metadata.marker_color")
+    val isPoint = col("geometry.type") === "Point"
+    val fire = isPoint && mc.isNotNull && (mc =!= "")
+    df.withColumn("properties",
+      col("properties")
+        .withField("type", when(isPoint, lit("u-d-p")))
+        .withField("marker_color", when(fire, concat(lit("#"), mc)))
+        .withField("marker_opacity", when(fire, lit(1.0)))
+        .withField("metadata",
+          col("properties.metadata")
+            .withField("marker_color",
+              when(fire, lit(null).cast("string")).otherwise(mc))))
+  }
+
+  /** A13 — folder→path broadcast join (`task.ts:142-152`): LEFT join of
+    * features against the folder dimension on a *truthy* folderId, then
+    * `path = '/' + folder.title`. Explicit `broadcast()` — the dim side is
+    * one row per folder; at 100 TB the fact side never shuffles for this.
+    */
+  def folderJoin(df: DataFrame, folders: DataFrame): DataFrame = {
+    val fid = col("properties.metadata.folder_id")
+    df.join(broadcast(folders),
+        fid.isNotNull && (fid =!= "") && fid === folders("fid"), "left")
+      .withColumn("path",
+        when(col("ftitle").isNotNull, concat(lit("/"), col("ftitle"))))
+      .drop("fid", "ftitle")
+  }
+
+  /** First coordinate position of the (already truncated) geometry, as
+    * array<double> — rank-1 for Point, first element of rank-2 otherwise.
+    */
+  def firstPosition(geom: Column): Column = {
+    val cs = geom.getField("coordinates")
+    when(geom.getField("type") === "Point",
+      from_json(cs, "array<double>", Map.empty[String, String]))
+      .otherwise(element_at(
+        from_json(cs, "array<array<double>>", Map.empty[String, String]), 1))
+  }
+
+  /** The whole reference pipeline A1→A13 fused (the flagship), flattened to
+    * scalar columns for oracle comparison (struct fields → top-level columns;
+    * the nested form is what flows through the stages above).
+    */
+  def flagship(features: DataFrame): DataFrame = {
+    val folders = folderDim(features)
+    val out = folderJoin(
+      pointEnrich(coordTruncate(enrichProperties(projectNest(mainFlow(features))))),
+      folders)
+    val pos = firstPosition(col("geometry"))
+    out.select(
+      col("id"),
+      col("properties.callsign").as("callsign"),
+      col("properties.remarks").as("remarks"),
+      col("properties.fill").as("fill"),
+      col("properties.fill_opacity").as("fill_opacity"),
+      col("properties.stroke").as("stroke"),
+      col("properties.stroke_opacity").as("stroke_opacity"),
+      col("properties.stroke_width").as("stroke_width"),
+      col("properties.archived").as("archived"),
+      col("properties.type").as("cot_type"),
+      col("properties.marker_color").as("marker_color_out"),
+      col("properties.marker_opacity").as("marker_opacity"),
+      col("properties.metadata.marker_color").as("metadata_marker_color"),
+      col("geometry.type").as("geom_type"),
+      element_at(pos, 1).as("x"),
+      element_at(pos, 2).as("y"),
+      element_at(pos, 3).as("z"),
+      col("path")
+    ).orderBy("id")
+  }
+}
