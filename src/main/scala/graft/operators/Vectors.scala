@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2 B21): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+  * variant as the 100 TB path (buckets shrink the candidate set ~2^bits x;
+  * per-bucket top-k is a Window row_number — no driver collect anywhere).
+  *
+  * Float elements are cast to double BEFORE any arithmetic and folded
+  * left-to-right (functions.aggregate), which the DuckDB oracle mirrors
+  * exactly (list_reduce over the same double products) — results are
+  * bitwise-identical, so even top-k tie ordering agrees.
+  */
+object Vectors {
+
+  /** Left-to-right double-fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** L2 norm, same fold discipline. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, p) => acc + p))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors of the vector with id
+    * `queryId`. One broadcast of the single query row; one pass over the
+    * corpus; TakeOrderedAndProject for the top-k (no full sort).
+    */
+  def knnBruteForce(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 mapped to {-1.0, +1.0}. No RNG state, stable across runs.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    when(xxhash64(plane, dim).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
+
+  /** `bits`-bit sign-LSH bucket id of an embedding column. */
+  def lshBucket(emb: Column, bits: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p =>
+        when(aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, v) => acc + v) > 0,
+          call_function("shiftleft", lit(1L), p))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** Approximate all-pairs top-k: per LSH bucket, every vector's k nearest
+    * bucket-mates by cosine. The bucket is the shuffle key; within-bucket
+    * ranking is a Window row_number. This is the shape that survives 100 TB:
+    * candidate generation is an equi-join on bucket, never all-pairs.
+    */
+  def knnLsh(emb: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      col("embedding"), lshBucket(col("embedding"), bits).as("bucket"))
+    val a = withBucket.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("bucket").as("bucket_a"))
+    val b = withBucket.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos_sim").desc, col("id_b"))
+    a.join(b, col("bucket_a") === col("bucket_b") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF-style search: partition the corpus by its `label` column (the
+    * stand-in for a coarse quantizer's cell assignment), locate the probe's
+    * cell by nearest cell-centroid, and search only that cell.
+    * Centroids are computed with exact DECIMAL sums so they are
+    * order-independent (a float running mean would not be).
+    */
+  def knnIvf(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("decimal(28,10)").as("v"))
+    val labeled = dims.join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val centroids = labeled.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v")) / count(lit(1))).cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val bestCell = centroids.crossJoin(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("q_emb")).as("cs"))
+      .orderBy(col("cs").desc, col("label")).limit(1)
+      .select(col("label").as("best_label"))
+    emb.join(broadcast(bestCell), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

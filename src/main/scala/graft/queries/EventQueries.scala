@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2 rows B9 (range join), B17/B18 (map/JSON), B19 (windowed
+  * time aggregation — the oracle-checkable batch equivalents of the
+  * streaming runner in [[graft.streaming.StreamRunner]]).
+  *
+  * Timestamps never leave the engine raw: outputs carry `unix_micros` BIGINTs
+  * (exact in both engines; DuckDB `epoch_us`). Window starts are epoch-aligned
+  * in both engines, so bucket arithmetic is exact integer math.
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // B9 — range join, binned to stay equi-joinable at scale. For each
+    // 'error' event: count same-user events in (ts, ts+10min]. A naive theta
+    // join is a BroadcastNestedLoop (O(n^2) — dead at 100 TB); instead each
+    // probe row explodes to its two candidate 10-minute buckets and the join
+    // is a plain shuffled equi-join on (user_id, bucket) with a residual
+    // range filter. Bucket width = range width keeps the candidate set at
+    // exactly 2 buckets per row.
+    Q("q_join_range",
+      """WITH probe AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) // 600000000 AS b
+  FROM events WHERE event_type = 'error'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.ts, u.cb
+  FROM probe p, UNNEST([p.b, p.b + 1]) AS u(cb)
+)
+SELECT c.event_id, COUNT(e.event_id) AS n_following
+FROM cand c LEFT JOIN events e
+  ON c.user_id = e.user_id
+  AND epoch_us(e.ts) // 600000000 = c.cb
+  AND e.ts > c.ts
+  AND epoch_us(e.ts) <= epoch_us(c.ts) + 600000000
+GROUP BY c.event_id ORDER BY c.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val width = 600000000L // 10 minutes in microseconds
+      // Exact integer floor-division (`div`), never double `/`: epoch-micros
+      // quotients sit closer to integer boundaries than double ulps.
+      val probe = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_ts"))
+        .withColumn("pb", expr(s"p_ts div ${width}L"))
+        .withColumn("cb", explode(array(col("pb"), col("pb") + 1)))
+        .drop("pb")
+      val build = ev.select(col("event_id").as("e_id"),
+        col("user_id").as("e_user"), unix_micros(col("ts")).as("e_ts"))
+        .withColumn("eb", expr(s"e_ts div ${width}L"))
+      probe.join(build,
+          col("p_user") === col("e_user") && col("cb") === col("eb") &&
+            col("e_ts") > col("p_ts") && col("e_ts") <= col("p_ts") + width,
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("e_id")).as("n_following"))
+        .orderBy("event_id")
+    },
+
+    // B18 — JSON extraction from the props payload.
+    Q("q_json_funcs",
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        .orderBy("event_id")
+    },
+
+    // B17 — map functions over the parsed JSON payload.
+    Q("q_map_funcs",
+      """SELECT event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  len(json_keys(props)) AS n_keys,
+  array_to_string(json_keys(props), ',') AS keys_csv
+FROM events ORDER BY event_id""") { (s, d) =>
+      val m = from_json(col("props"), "map<string,string>",
+        Map.empty[String, String])
+      Tables.events(s, d)
+        .select(col("event_id"),
+          element_at(m, "k").cast("int").as("k_val"),
+          size(map_keys(m)).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys_csv"))
+        .orderBy("event_id")
+    },
+
+    // B19a — tumbling 1-hour window aggregation (batch form of the
+    // streaming query; StreamRunner runs the identical plan on readStream).
+    Q("q_stream_tumbling",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1 ORDER BY window_start_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start_us")
+    },
+
+    // B19b — sliding window (1 hour, slide 30 min): every event lands in
+    // exactly two epoch-aligned windows; the oracle enumerates them with
+    // integer bucket math.
+    Q("q_stream_sliding",
+      """WITH ex AS (
+  SELECT e.*, (epoch_us(ts) // 1800000000 + u.off) * 1800000000 AS ws
+  FROM events e, UNNEST([-1, 0]) AS u(off)
+)
+SELECT ws AS window_start_us, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ex GROUP BY ws ORDER BY window_start_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start_us")
+    },
+
+    // B19c — session windows (10-minute gap) per user. The oracle rebuilds
+    // Spark's merge semantics as gap-islands: a new session starts when the
+    // previous same-user event is >= gap earlier.
+    Q("q_stream_session",
+      """WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 600000000
+           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, epoch_us(ts))
+), islands AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sid ORDER BY user_id, session_start_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }
+  )
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** SURVEY.md §2 rows B16 (array functions), B20 (dedup), B22 (text
+  * analysis) over the `documents` table. All-integer/string math keeps the
+  * oracles exact; ratio columns are double divisions of exact ints (IEEE —
+  * bitwise identical in both engines).
+  */
+object TextQueries {
+
+  /** Stopword list used by quality scoring + language-marker scoring. */
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  val all: Seq[Q] = Seq(
+
+    // B16 — array function family over the tokenized text (exact: sizes,
+    // sorted-distinct joins, int fold via aggregate()).
+    Q("q_array_funcs",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+  array_to_string(string_split(text, ' ')[1:3], '_') AS first3,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '_') AS first5_sorted,
+  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+  list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS total_chars
+FROM documents ORDER BY doc_id""") { (s, d) =>
+      val ws = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).as("n_words"),
+          array_join(slice(ws, 1, 3), "_").as("first3"),
+          size(array_distinct(ws)).as("n_distinct"),
+          array_join(slice(sort_array(array_distinct(ws)), 1, 5), "_")
+            .as("first5_sorted"),
+          array_contains(ws, "spark").as("has_spark"),
+          aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("total_chars"))
+        .orderBy("doc_id")
+    },
+
+    // B22a — token counting: global top-50 words (explode -> count).
+    Q("q_text_tokens",
+      """SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)
+    },
+
+    // B22b — per-language corpus stats.
+    Q("q_text_stats",
+      """SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  SUM(len(string_split(text, ' '))) AS total_words
+FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(size(split(col("text"), " "))).as("total_words"))
+        .orderBy("lang")
+    },
+
+    // B22c — per-document quality scoring: token count, lexical diversity,
+    // stopword ratio, mean word length (all exact-int derived).
+    Q("q_text_quality",
+      s"""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS diversity,
+  CAST(len(list_filter(string_split(text, ' '),
+    w -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], w))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_word_len
+FROM documents ORDER BY doc_id""") { (s, d) =>
+      val ws = split(col("text"), " ")
+      val n = size(ws).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).as("n_words"),
+          (size(array_distinct(ws)).cast("double") / n).as("diversity"),
+          (size(filter(ws, w => w.isInCollection(stopwords))).cast("double") / n)
+            .as("stopword_ratio"),
+          (aggregate(ws, lit(0), (acc, w) => acc + length(w)).cast("double") / n)
+            .as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // B22d — document fingerprint: polynomial rolling hash over word codes,
+    // mod 1e9+7 each step (both engines fold left-to-right in exact BIGINT).
+    Q("q_text_fingerprint",
+      """SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ' '),
+        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+FROM documents ORDER BY doc_id""") { (s, d) =>
+      val codes = transform(split(col("text"), " "),
+        w => (length(w) * 131 + ascii(substring(w, 1, 1))).cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(codes, lit(0L),
+            (h, c) => (h * 31 + c) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // B22e — marker-word language ID heuristic (SQL-expressible scoring:
+    // argmax over per-language marker-hit counts, ties -> 'und').
+    Q("q_text_langid",
+      """WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','in','to','is'], w))) AS s_en,
+    len(list_filter(string_split(text, ' '),
+      w -> list_contains(['el','la','de','que','y','en'], w))) AS s_es,
+    len(list_filter(string_split(text, ' '),
+      w -> list_contains(['der','die','das','und','ist'], w))) AS s_de
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN s_en > s_es AND s_en > s_de THEN 'en'
+       WHEN s_es > s_en AND s_es > s_de THEN 'es'
+       WHEN s_de > s_en AND s_de > s_es THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM scored ORDER BY doc_id""") { (s, d) =>
+      val ws = split(col("text"), " ")
+      def hits(markers: Seq[String]) =
+        size(filter(ws, w => w.isInCollection(markers)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          hits(Seq("the", "a", "of", "and", "in", "to", "is")).as("s_en"),
+          hits(Seq("el", "la", "de", "que", "y", "en")).as("s_es"),
+          hits(Seq("der", "die", "das", "und", "ist")).as("s_de"))
+        .select(col("doc_id"), col("lang"),
+          when(col("s_en") > col("s_es") && col("s_en") > col("s_de"), "en")
+            .when(col("s_es") > col("s_en") && col("s_es") > col("s_de"), "es")
+            .when(col("s_de") > col("s_en") && col("s_de") > col("s_es"), "de")
+            .otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // B20a — exact dedup: group identical normalized text, keep min doc_id.
+    Q("q_dedup_exact",
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size
+FROM documents GROUP BY lower(trim(text)) ORDER BY keeper""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(lower(trim(col("text"))))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+        .select(col("keeper"), col("group_size"))
+        .orderBy("keeper")
+    },
+
+    // B20b — order-insensitive dedup on the distinct-word set.
+    Q("q_dedup_wordset",
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size
+FROM documents
+GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+ORDER BY keeper""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(array_join(
+          sort_array(array_distinct(split(lower(col("text")), " "))), " "))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+        .select(col("keeper"), col("group_size"))
+        .orderBy("keeper")
+    },
+
+    // B20c — n-gram Jaccard near-dup pairs in a doc_id neighbor window
+    // (exact word-trigram Jaccard; the window is the SQL-expressible
+    // blocking stand-in for LSH blocking).
+    Q("q_dedup_ngram_jaccard",
+      """WITH grams AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+FROM grams a JOIN grams b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+ORDER BY id_a, id_b""") { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.shingles(split(col("text"), " "), 3).as("g"))
+      // The neighbor window becomes an exploded equi-join (a raw `BETWEEN`
+      // theta-join would plan as a nested loop — dead at scale).
+      val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+        .withColumn("id_b_cand",
+          explode(sequence(col("id_a") + 1, col("id_a") + 5)))
+      val b = grams.select(col("doc_id").as("id_b"), col("g").as("g_b"))
+      val inter = size(array_intersect(col("g_a"), col("g_b")))
+      val jac = inter.cast("double") /
+        (size(col("g_a")) + size(col("g_b")) - inter)
+      a.join(b, col("id_b_cand") === col("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // B20d — MinHash-LSH near-dup candidates (the 100 TB-scale dedup path;
+    // xxhash64 isn't SQL-replicable so the driver records a rows-only
+    // check; DedupSpec pins semantics on planted near-dups).
+    Q.noOracle("q_dedup_minhash") { (s, d) =>
+      Dedup.minhashPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text")), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // B20e — SimHash Hamming-near candidates (rows-only check; spec-pinned).
+    Q.noOracle("q_dedup_simhash") { (s, d) =>
+      Dedup.simhashPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text")), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+import graft.sources.Tables
+
+/** SURVEY.md §2 rows B21 (similarity search) and B23 (multimodal columns)
+  * over the `embeddings` (+`documents`) tables. The cosine oracle mirrors
+  * the engine's exact fold discipline (cast-to-double per element,
+  * left-to-right summation), so doubles are bitwise identical and even
+  * tie-ordering in top-k agrees.
+  */
+object VectorQueries {
+
+  /** DuckDB mirror of [[Vectors.dot]]: per-element double products folded
+    * left-to-right with a 0.0 seed (list_prepend; 0.0 + x == x exactly).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"""
+
+  private def duckNorm(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"""
+
+  val all: Seq[Q] = Seq(
+
+    // B16/B21 groundwork — per-vector norm + dims, exact double fold.
+    Q("q_vector_norm",
+      s"""SELECT vec_id, len(embedding) AS dim, ${duckNorm("embedding")} AS l2_norm
+FROM embeddings ORDER BY vec_id""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          Vectors.norm(col("embedding")).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    // B21a — exact brute-force cosine top-10 around vec_id = 0.
+    Q("q_knn_cosine",
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  ${duckDot("embedding", "q_emb")} / (${duckNorm("embedding")} * ${duckNorm("q_emb")}) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
+      Vectors.knnBruteForce(Tables.embeddings(s, d), queryId = 0L, k = 10)
+    },
+
+    // B21b — LSH-bucketed approximate neighbors (the 100 TB path: bucket
+    // equi-join, never all-pairs). xxhash64 hyperplanes aren't
+    // SQL-replicable -> rows-only check; KnnSpec pins recall vs brute force.
+    Q.noOracle("q_knn_lsh") { (s, d) =>
+      Vectors.knnLsh(Tables.embeddings(s, d), k = 5, bits = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // B21c — IVF-style cell-probed search (label column as the coarse
+    // quantizer cell; exact-decimal centroids). Oracle-free: spec-pinned.
+    Q.noOracle("q_knn_ivf") { (s, d) =>
+      Vectors.knnIvf(Tables.embeddings(s, d), queryId = 0L, k = 10)
+    },
+
+    // B23a — multimodal join: text modality + vector modality in one row.
+    Q("q_multimodal_join",
+      s"""SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dim,
+  ${duckNorm("e.embedding")} AS l2_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).as("dim"),
+          Vectors.norm(col("embedding")).as("l2_norm"))
+        .orderBy("doc_id")
+    },
+
+    // B23b — opaque binary payload column: the text bytes stand in for an
+    // image/audio blob; octet_length + md5 are the deterministic
+    // "feature extraction" the oracle can replicate byte-for-byte.
+    Q("q_multimodal_binary",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+  source AS media_source FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("payload_md5"),
+          col("source").as("media_source"))
+        .orderBy("doc_id")
+    }
+  )
+}
