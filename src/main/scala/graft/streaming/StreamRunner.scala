@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2 B19): the reference is a
+  * scheduled batch pull (`/root/reference/task.ts:46`), whose idiomatic
+  * Spark analog is a file-source stream drained with Trigger.AvailableNow —
+  * each scheduled run processes exactly the data that has arrived since the
+  * last checkpoint, then stops.
+  *
+  * The streaming aggregations here are the SAME logical plans as the
+  * batch-equivalent queries `q_stream_tumbling`/`q_stream_session`
+  * (EventQueries.scala) — StreamingSpec asserts stream == batch on the
+  * driver's events table. Watermarks bound state: at 100 TB/day the state
+  * store only ever holds windows newer than (max event time - watermark).
+  */
+object StreamRunner {
+
+  /** The events parquet dir as a bounded file stream with the batch schema.
+    * maxFilesPerTrigger=1 keeps multi-file dirs incremental (micro-batches).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source requires a directory: stream the sf dir with a glob
+    // that selects just the events file
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    // same nanos->micros normalization as Tables.events
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
+    * late rows beyond the watermark are dropped, state is bounded.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("total_value"))
+
+  /** Per-user session windows (10-minute gap), watermarked. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
+  /** Drain a streaming aggregation to an in-memory table with
+    * Trigger.AvailableNow (complete mode: final window results), returning
+    * the materialized result. Used by StreamingSpec and the demo main.
+    */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Demo main: run both streaming aggs over a sf dir and print row counts.
+    * Usage: runMain graft.streaming.StreamRunner <sfDir>
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tumbling = runToMemory(spark, tumblingAgg(eventsStream(spark, sfDir)), "t")
+    val sessions = runToMemory(spark, sessionAgg(eventsStream(spark, sfDir)), "s")
+    println(s"tumbling windows: ${tumbling.count()}, sessions: ${sessions.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.CalTopo
+import graft.sources.CalTopoFeatures
+
+/** Reference-pipeline edge cases from the reference's own bug history
+  * (FIXTURES.md §3): geometry-less features (CHANGELOG v2.2.0), 4-component
+  * coordinates (v2.3.1), falsy marker-color/description (task.ts:114,132),
+  * dangling folderId (task.ts:144-149).
+  */
+class CalTopoSpec extends SparkSpec {
+
+  private def handRows: DataFrame = {
+    import spark.implicits._
+    // (id, class, title, description, marker_color, folder_id,
+    //  geom_type or null, coordinates json)
+    Seq(
+      ("m1", "Marker", "With color", "d", "FF0000", "F1", "Point", "[10.5,20.25,100.0,999.0]"),
+      ("m2", "Marker", "Empty color", "", "", null, "Point", "[1.0,2.0]"),
+      ("m3", "Marker", "No geometry", null, null, "F1", null, null),
+      ("s1", "Shape", "Line", "x", null, "DANGLING", "LineString",
+        "[[0.0,0.0,5.0,7.0],[1.0,1.0,6.0,8.0]]"),
+      ("F1", "Folder", "My Folder", null, null, null, null, null)
+    ).toDF("id", "class", "title", "description", "marker_color",
+        "folder_id", "geom_type", "coords")
+      .select(col("id"), col("class"), col("title"), col("description"),
+        lit("me").as("creator"), lit(1L).as("updated"),
+        lit(null).cast("string").as("marker_symbol"),
+        lit(null).cast("string").as("marker_rotation"),
+        col("marker_color"),
+        lit(null).cast("string").as("marker_size"),
+        lit(null).cast("string").as("stroke"),
+        lit(null).cast("double").as("stroke_opacity"),
+        lit(null).cast("double").as("stroke_width"),
+        lit(null).cast("string").as("pattern"),
+        lit(null).cast("string").as("fill"),
+        lit(null).cast("double").as("fill_opacity"),
+        col("folder_id"),
+        lit(null).cast("boolean").as("visible"),
+        lit(null).cast("boolean").as("label_visible"),
+        when(col("geom_type").isNotNull,
+          struct(col("geom_type").as("type"), col("coords").as("coordinates")))
+          .as("geometry"))
+      .drop("geom_type", "coords")
+  }
+
+  test("geometry-less and folder features are dropped from the main flow") {
+    val out = CalTopo.mainFlow(handRows).select("id").collect().map(_.getString(0))
+    assert(out.toSet == Set("m1", "m2", "s1"))
+  }
+
+  test("folder dim extracts folders regardless of geometry") {
+    val dim = CalTopo.folderDim(handRows).collect()
+    assert(dim.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("F1", "My Folder")))
+  }
+
+  test("4-component coordinates truncate to 3, idempotently") {
+    val df = CalTopo.coordTruncate(
+      CalTopo.projectNest(CalTopo.mainFlow(handRows)))
+    val m1 = df.filter(col("id") === "m1")
+      .select(col("geometry.coordinates")).first().getString(0)
+    assert(m1 == "[10.5,20.25,100.0]")
+    // LineString: every position truncated
+    val s1 = df.filter(col("id") === "s1")
+      .select(col("geometry.coordinates")).first().getString(0)
+    assert(s1 == "[[0.0,0.0,5.0],[1.0,1.0,6.0]]")
+    // idempotent: truncating again is a no-op
+    val twice = CalTopo.coordTruncate(df).filter(col("id") === "m1")
+      .select(col("geometry.coordinates")).first().getString(0)
+    assert(twice == m1)
+    // 2-component point untouched
+    val m2 = df.filter(col("id") === "m2")
+      .select(col("geometry.coordinates")).first().getString(0)
+    assert(m2 == "[1.0,2.0]")
+  }
+
+  test("marker-color: set => '#'-prefixed + opacity 1 + removed from metadata; empty string untouched (JS falsy)") {
+    val df = CalTopo.pointEnrich(
+      CalTopo.projectNest(CalTopo.mainFlow(handRows)))
+    val m1 = df.filter(col("id") === "m1")
+      .select(col("properties.marker_color"), col("properties.marker_opacity"),
+        col("properties.metadata.marker_color"), col("properties.type"))
+      .first()
+    assert(m1.getString(0) == "#FF0000")
+    assert(m1.getDouble(1) == 1.0)
+    assert(m1.isNullAt(2))
+    assert(m1.getString(3) == "u-d-p")
+    val m2 = df.filter(col("id") === "m2")
+      .select(col("properties.marker_color"), col("properties.metadata.marker_color"))
+      .first()
+    assert(m2.isNullAt(0)) // empty string is falsy: NOT prefixed
+    assert(m2.getString(1) == "")
+  }
+
+  test("falsy description coalesces to empty remarks") {
+    val df = CalTopo.enrichProperties(
+      CalTopo.projectNest(CalTopo.mainFlow(handRows)))
+    val remarks = df.select(col("id"), col("properties.remarks"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(remarks("m1") == "d")
+    assert(remarks("m2") == "") // empty -> empty
+  }
+
+  test("folder join: resolving folderId gets '/'-prefixed path; dangling/missing get none") {
+    val df = CalTopo.folderJoin(
+      CalTopo.projectNest(CalTopo.mainFlow(handRows)),
+      CalTopo.folderDim(handRows))
+    val paths = df.select(col("id"), col("path"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(paths("m1").contains("/My Folder"))
+    assert(paths("m2").isEmpty)      // null folderId
+    assert(paths("s1").isEmpty)      // dangling folderId
+  }
+
+  test("flagship over driver data is non-empty and deterministic") {
+    val a = CalTopo.flagship(CalTopoFeatures.build(spark, sfDir)).collect()
+    val b = CalTopo.flagship(CalTopoFeatures.build(spark, sfDir)).collect()
+    assert(a.nonEmpty)
+    assert(a.sameElements(b))
+  }
+}

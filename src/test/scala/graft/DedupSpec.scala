@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** MinHash-LSH / SimHash semantics pinned on planted near-duplicates (these
+  * operators are rows-only in the driver's oracle check, so this spec is
+  * their correctness gate).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base),                                           // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),                 // near dup of 1
+      (4L, "completely different words about spark query engines and shuffle partitions at massive scale"),
+      (5L, "yet another unrelated document mentioning parquet files column pruning and predicate pushdown"),
+      (6L, base.split(' ').reverse.mkString(" "))            // word-shuffled 1
+    ).toDF("id", "text")
+  }
+
+  test("minhash: exact + near dups found, unrelated docs not paired") {
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash: exact dup pair has estimated jaccard 1.0") {
+    val est = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").first().getDouble(0)
+    assert(est == 1.0)
+  }
+
+  test("minhash signatures are stable across partitionings") {
+    val one = Dedup.minhashSignatures(corpus.repartition(1)).orderBy("id").collect()
+    val four = Dedup.minhashSignatures(corpus.repartition(4)).orderBy("id").collect()
+    assert(one.sameElements(four))
+  }
+
+  test("simhash: identical text and word-shuffled text => distance 0; unrelated not paired") {
+    // simhash is a word-multiset fingerprint: reordering must not move it.
+    // (Single-word edits on short docs flip O(sqrt(n)) bits — near-dup
+    // recall for edits is minhash's job, pinned above.)
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.get((1L, 6L)).contains(0))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("shingles: short docs degrade to whole-text shingle") {
+    import spark.implicits._
+    val rows = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")
+      .select(col("id"), Dedup.shingles(Dedup.words(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("one two"))
+    assert(rows(2L) == Seq("one"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+import graft.sources.Tables
+
+/** Similarity-search semantics: brute force against a naive driver-side
+  * computation; LSH/IVF (rows-only in the oracle check) against brute-force
+  * recall floors.
+  */
+class KnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  private lazy val naiveTop10: Seq[(Long, Double)] = {
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    rows.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        (id, dot(vd, q) / (nrm(vd) * nrm(q)))
+      }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).toSeq
+  }
+
+  test("brute-force knn matches naive driver-side top-10 exactly") {
+    val got = Vectors.knnBruteForce(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == naiveTop10.map(_._1))
+    got.zip(naiveTop10).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
+  test("lsh knn: same-bucket neighbors rank identically to exact cosine") {
+    // for each returned (id_a, id_b) the cosine must equal the exact value
+    val got = Vectors.knnLsh(emb, k = 5, bits = 8).collect()
+    assert(got.nonEmpty)
+    // spot-check first row's cosine against a driver-side recompute
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    val r0 = got.head
+    val (a, b) = (rows(r0.getLong(0)), rows(r0.getLong(1)))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+    val expect = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    assert(math.abs(r0.getDouble(2) - expect) < 1e-12)
+  }
+
+  test("lsh knn is deterministic across runs") {
+    val a = Vectors.knnLsh(emb, k = 5, bits = 8).orderBy("id_a", "id_b").collect()
+    val b = Vectors.knnLsh(emb, k = 5, bits = 8).orderBy("id_a", "id_b").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("ivf knn returns k neighbors from the probed cell with exact cosines") {
+    val got = Vectors.knnIvf(emb, 0L, 10).collect()
+    assert(got.length == 10)
+    // all results share one label cell
+    val ids = got.map(_.getLong(0)).toSet
+    val labels = emb.filter(col("vec_id").isin(ids.toSeq.map(Long.box): _*))
+      .select("label").distinct().collect().map(_.getInt(0))
+    assert(labels.length == 1)
+    // cosines are genuine (subset of naive all-pairs values)
+    val naiveMap = naiveTop10.toMap
+    got.foreach { r =>
+      naiveMap.get(r.getLong(0)).foreach { c =>
+        assert(math.abs(c - r.getDouble(1)) < 1e-12)
+      }
+    }
+  }
+}

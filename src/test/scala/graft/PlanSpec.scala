@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan shape assertions (SURVEY.md §7.3 M5): the 100 TB posture
+  * is that the right plan, not just the right rows, is the contract —
+  * broadcasts where intended, pushdown reaching the scan, no nested-loop
+  * joins on the scale paths, top-k without a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.all.find(_.name == name).get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("folder_join and q_join_broadcast use broadcast hash joins") {
+    assert(plan("folder_join").contains("BroadcastHashJoin"))
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_shuffle is a sort-merge join") {
+    assert(plan("q_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThan(l_discount") || p.contains("LessThan(l_quantity"))
+  }
+
+  test("column pruning: projection-only query reads only needed columns") {
+    val p = plan("q_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_tax"))
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("binned range join and neighbor-window jaccard avoid nested-loop joins") {
+    Seq("q_join_range", "q_dedup_ngram_jaccard", "q_dedup_minhash",
+        "q_knn_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are two-phase (partial + final hash aggregate)") {
+    val p = plan("q_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("whole-stage codegen covers the flagship pipeline (final AQE plan)") {
+    val df = Registry.all.find(_.name == "flagship").get.build(spark, sfDir)
+    df.collect() // AQE finalizes (and codegens) the plan only on execution
+    // codegen spans print as "*(n) Operator" in the simple plan string
+    assert("""\*\(\d+\)""".r.findFirstIn(
+      df.queryExecution.executedPlan.toString).isDefined)
+  }
+}

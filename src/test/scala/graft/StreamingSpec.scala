@@ -1,0 +1,33 @@
+package graft
+
+import graft.streaming.StreamRunner
+import graft.queries.Registry
+
+/** Stream == batch: the streaming aggregations must produce exactly the
+  * rows of their oracle-checked batch equivalents (SURVEY.md §7.3 M3).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def batch(name: String) =
+    Registry.all.find(_.name == name).get.build(spark, sfDir)
+
+  test("tumbling window stream equals q_stream_tumbling batch result") {
+    val stream = StreamRunner.runToMemory(spark,
+      StreamRunner.tumblingAgg(StreamRunner.eventsStream(spark, sfDir)),
+      "spec_tumbling")
+      .orderBy("window_start_us").collect()
+    val expected = batch("q_stream_tumbling").collect()
+    assert(stream.length == expected.length)
+    assert(stream.sameElements(expected))
+  }
+
+  test("session window stream equals q_stream_session batch result") {
+    val stream = StreamRunner.runToMemory(spark,
+      StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
+      "spec_session")
+      .orderBy("user_id", "session_start_us").collect()
+    val expected = batch("q_stream_session").collect()
+    assert(stream.length == expected.length)
+    assert(stream.sameElements(expected))
+  }
+}
