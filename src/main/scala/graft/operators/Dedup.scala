@@ -44,27 +44,54 @@ object Dedup {
         .otherwise(array(array_join(ws, " "))))
   }
 
-  /** numPerm minhash values: min over shingles of xxhash64(shingle, perm).
-    * NOTE: as a single nested-HOF expression Catalyst's CollapseProject
-    * re-inlines the shingling work into all numPerm branches (measured 50x
-    * slowdown) — [[minhashSignatures]] is the production path: explode
-    * shingles to rows and take numPerm min-aggregates, so each shingle is
-    * hashed exactly once and the aggregation is map-side partial.
+  /** (id, mh) signature table. Words explode to rows and are hashed ONCE;
+    * a shingle's hash is the fixed-width combination of the 3 consecutive
+    * word hashes (lead() window), so no shingle strings are ever built —
+    * the HOF string-building variant ran interpreted and dominated the
+    * pipeline. The numPerm signature slots are min-aggregates of cheap
+    * fixed-width re-hashes xxhash64(h, p). (Linear permutations a_p*h+b_p
+    * would be cheaper still but need wrap-around multiplication, which
+    * ANSI mode — Spark 4's default — rejects.) One shuffle on id feeds the
+    * window, the distinct, and the final aggregate (partitioning is
+    * preserved across all three) — the shape that survives 100 TB.
     */
-  def minhashes(sh: Column, numPerm: Int = 64): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(sh, s => xxhash64(s, p))))
+  /** Distinct (id, h) shingle-hash rows: words explode, each is hashed
+    * once, a shingle's hash combines the 3 consecutive word hashes via
+    * lead() windows — no shingle strings are ever materialized (the HOF
+    * string-building variant ran interpreted and dominated the pipeline).
+    * Hashing is injective-in-practice (64-bit), so set sizes/intersections
+    * over hashes equal those over the underlying shingle strings.
+    */
+  def shingleHashRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id")
+    val seq3 = byDoc.orderBy("pos")
+    docs
+      .select(col("id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"), xxhash64(col("w")).as("wh"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("l1", lead("wh", 1).over(seq3))
+      .withColumn("l2", lead("wh", 2).over(seq3))
+      // shingle rows: starts 0..n-3; docs shorter than one shingle keep a
+      // single whole-text row (mirrors shingles()'s degenerate case)
+      .filter(col("pos") <= col("n") - 3 ||
+        (col("n") < 3 && col("pos") === 0))
+      .select(col("id"),
+        when(col("n") >= 3, xxhash64(col("wh"), col("l1"), col("l2")))
+          .when(col("n") === 2, xxhash64(col("wh"), col("l1")))
+          .otherwise(xxhash64(col("wh"))).as("h"))
+      .dropDuplicates("id", "h")
+  }
 
-  /** (id, mh) signature table: shingle rows -> numPerm min(xxhash64(s, p))
-    * aggregates packed back into one array column. One shuffle on id with
-    * map-side combine — the shape that survives 100 TB.
-    */
+  /** Per-doc distinct gram-hash set, for exact Jaccard over hashed grams. */
+  def gramHashSets(docs: DataFrame): DataFrame =
+    shingleHashRows(docs).groupBy(col("id"))
+      .agg(collect_set(col("h")).as("g"))
+
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame =
-    docs.select(col("id"),
-        explode(shingles(words(col("text")))).as("s"))
-      .groupBy(col("id"))
-      .agg(array((0 until numPerm).map(p => min(xxhash64(col("s"), lit(p)))): _*)
-        .as("mh"))
+    shingleHashRows(docs).groupBy(col("id"))
+      .agg(array((0 until numPerm).map(p =>
+        min(xxhash64(col("h"), lit(p)))): _*).as("mh"))
 
   /** LSH band keys: split the signature into bands of `rows` values and hash
     * each band; a shared (band index, band hash) pair => candidate pair.
@@ -76,28 +103,47 @@ object Dedup {
 
   /** Candidate near-dup pairs (id_a < id_b) whose estimated Jaccard (equal
     * minhash fraction) is >= threshold. `docs` must have (id, text).
+    *
+    * Shape: one signature pass, explode band keys, group by band key, and
+    * emit in-bucket pairs from the collected member list — the signature
+    * subplan runs ONCE (a band-key self-join recomputed it per side,
+    * measured ~2x the total cost). Buckets larger than `maxBucket` are
+    * dropped: a mega-bucket means hundreds of near-identical docs, which
+    * exact dedup already collapses, and the quadratic pair blowup inside
+    * it is exactly what kills the job at 100 TB.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
-      numPerm: Int = 64, bandRows: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, numPerm)
-      .withColumn("bk", explode(bandKeys(col("mh"), bandRows)))
-    val a = sigs.select(col("id").as("id_a"), col("mh").as("mh_a"),
-      col("bk").as("bk_a"))
-    val b = sigs.select(col("id").as("id_b"), col("mh").as("mh_b"),
-      col("bk").as("bk_b"))
-    val estJaccard = aggregate(
-      zip_with(col("mh_a"), col("mh_b"),
-        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-      lit(0), (acc, v) => acc + v).cast("double") / numPerm
-    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
+      numPerm: Int = 64, bandRows: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val m = col("members")
+    val buckets = minhashSignatures(docs, numPerm)
+      .select(col("id"), col("mh"), explode(bandKeys(col("mh"), bandRows)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(collect_list(struct(col("id"), col("mh"))).as("members"))
+      .filter(size(m).between(2, maxBucket))
+    def estJaccard(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a.getField("mh"), b.getField("mh"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+        lit(0), (acc, v) => acc + v).cast("double") / numPerm
+    buckets.select(explode(flatten(
+        transform(m, (a, i) =>
+          transform(slice(m, i + 2, size(m)), b =>
+            struct(
+              least(a.getField("id"), b.getField("id")).as("id_a"),
+              greatest(a.getField("id"), b.getField("id")).as("id_b"),
+              estJaccard(a, b).as("est_jaccard")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of the word multiset: bit b is set when the sum of
     * per-word contributions (+1 when bit b of xxhash64(word) is 1 else -1)
-    * is positive. Expressed as a fold over a 64-long counter array.
+    * is positive. Expressed per-bit as a plain expression over a single
+    * word hash — used by [[simhashSignatures]] inside a codegen'd hash
+    * aggregate (a HOF fold over a 64-counter array was measured ~10x
+    * slower: higher-order lambdas run interpreted).
     */
   def simhash(ws: Column): Column = {
     val bits = sequence(lit(0), lit(63))
@@ -112,13 +158,32 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** (id, sh) simhash table, codegen-friendly: words explode to rows, each
+    * hashed once; 64 per-bit sign sums aggregate map-side; the bit vector
+    * reassembles from the sums. Same result as [[simhash]] per row.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val h = xxhash64(col("w"))
+    val sums = (0 until 64).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"c$b")
+    }
+    docs.select(col("id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
   /** Candidate pairs within Hamming distance `maxDist` of each other's
     * simhash, generated by banding the 64 bits into 4 16-bit chunks (any
     * pair at distance <= 3 shares at least one intact chunk); exact Hamming
     * distance (bit_count of XOR) filters the candidates.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col("id"), simhash(words(col("text"))).as("sh"))
+    val sigs = simhashSignatures(docs)
       .withColumn("chunk", explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("ci"),
           shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))))

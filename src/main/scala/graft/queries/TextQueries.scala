@@ -187,20 +187,30 @@ FROM grams a JOIN grams b
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
 ORDER BY id_a, id_b""") { (s, d) =>
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          Dedup.shingles(split(col("text"), " "), 3).as("g"))
+      // hashed grams, not gram strings: 64-bit gram hashes are 1-1 with
+      // the oracle's string trigrams on this corpus (single-space, all
+      // lowercase, no short docs — asserted in TextSpec), so intersection
+      // and set sizes — and therefore jaccard — are identical, while the
+      // engine never materializes a gram string
+      val grams = Dedup.gramHashSets(
+        Tables.documents(s, d).select(col("doc_id").as("id"), col("text")))
+        .select(col("id").as("doc_id"), col("g"))
       // The neighbor window becomes an exploded equi-join (a raw `BETWEEN`
       // theta-join would plan as a nested loop — dead at scale).
       val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
         .withColumn("id_b_cand",
           explode(sequence(col("id_a") + 1, col("id_a") + 5)))
       val b = grams.select(col("doc_id").as("id_b"), col("g").as("g_b"))
-      val inter = size(array_intersect(col("g_a"), col("g_b")))
-      val jac = inter.cast("double") /
-        (size(col("g_a")) + size(col("g_b")) - inter)
+      // materialize the intersection size once per pair — referencing the
+      // array_intersect expression from both numerator and denominator (and
+      // again in the filter) would recompute it each time
       a.join(b, col("id_b_cand") === col("id_b"))
-        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("g_a"), col("g_b"))).as("n_inter"),
+          size(col("g_a")).as("n_a"), size(col("g_b")).as("n_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("id_a", "id_b")
     },
