@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CalTopo, Vectors}
+import graft.sources.{CalTopoFeatures, Tables}
+
+/** Coverage completers for SURVEY.md §2: cube (B4), HLL approximate
+  * distinct (B3), embedding-cosine near-dup pairs (B20), and the scalar
+  * UDF / generator (UDTF) representatives (B24).
+  */
+object ExtraQueries {
+
+  /** Scalar UDF representative: the generic GeoJSON coordinate walk
+    * (A10's arbitrary-rank form) as a registered Scala function — the
+    * escape hatch for logic HOFs can't express. Kept OFF hot paths: UDFs
+    * break whole-stage codegen; UdfSpec asserts it agrees with the
+    * codegen'd typed implementation on every driver row.
+    */
+  val truncateCoordsJson: String => String = { js =>
+    if (js == null) null
+    else {
+      // truncate every innermost [n1,n2,...] run to 3 numbers, preserving
+      // nesting — string-level walk, no JSON lib dependency
+      val sb = new StringBuilder
+      var i = 0
+      while (i < js.length) {
+        val c = js.charAt(i)
+        if (c == '[') {
+          // check if this bracket opens an innermost array (no '[' before ']')
+          val close = js.indexOf(']', i)
+          val nextOpen = js.indexOf('[', i + 1)
+          if (close >= 0 && (nextOpen < 0 || nextOpen > close)) {
+            val inner = js.substring(i + 1, close)
+            val parts = inner.split(",")
+            sb.append('[').append(parts.take(3).mkString(",")).append(']')
+            i = close + 1
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // B4b — cube: all grouping combinations of (orderstatus, priority).
+    Q("q_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spent"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    },
+
+    // B3b — HLL++ approximate distinct. Sketch internals differ across
+    // engines, so rows-only here; ExtraSpec pins the estimate within
+    // rsd-derived bounds of the exact count.
+    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .orderBy("o_orderstatus")
+    },
+
+    // B20f — embedding-cosine similar pairs (cos >= 0.3; this synthetic corpus has no planted near-identical vectors) over a vec_id neighbor window
+    // (the SQL-expressible blocking stand-in; the LSH-bucketed variant is
+    // q_knn_lsh). Exact double folds -> bitwise-equal cosines.
+    Q("q_dedup_embedding",
+      s"""WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+ORDER BY id_a, id_b""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+        .withColumn("cand", explode(sequence(col("id_a") + 1, col("id_a") + 10)))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("cand") === col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Vectors.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
+    // table (semantics pinned against the codegen'd path in ExtraSpec).
+    Q.noOracle("q_udf_geo_truncate") { (s, d) =>
+      val truncUdf = udf(truncateCoordsJson)
+      CalTopo.mainFlow(CalTopoFeatures.build(s, d))
+        .select(col("id"),
+          col("geometry.type").as("geom_type"),
+          truncUdf(col("geometry.coordinates")).as("coords3"))
+        .orderBy("id")
+    },
+
+    // B24c — generator (UDTF-shaped): typed Dataset.flatMap exploding each
+    // doc into word rows; oracle = UNNEST. flatMap is the arbitrary-
+    // generator escape hatch; explode() stays the codegen'd fast path.
+    Q("q_udtf_flatmap",
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id < 50 ORDER BY doc_id, word""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => text.split(' ').map(w => (id, w)) }
+        .toDF("doc_id", "word")
+        .orderBy("doc_id", "word")
+    }
+  )
+}

@@ -56,6 +56,29 @@ object StreamRunner {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Custom arbitrary-state operator (B19 escape hatch): per-user event
+    * counting via mapGroupsWithState — the shape for state machines that
+    * windowed aggregation can't express (session carts, fraud traces,
+    * dedup-by-key). State lives in the state store keyed by user_id, so it
+    * scales with distinct keys, not events; at 100 TB the watermark-driven
+    * timeout (not used here — bounded input) is what bounds it.
+    */
+  def statefulCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+        })
+      .toDF("user_id", "n_events")
+  }
+
   /** Drain a streaming aggregation to an in-memory table with
     * Trigger.AvailableNow (complete mode: final window results), returning
     * the materialized result. Used by StreamingSpec and the demo main.
@@ -65,6 +88,21 @@ object StreamRunner {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Like [[runToMemory]] but update output mode (required by
+    * mapGroupsWithState); the memory table then holds one row per state
+    * update, so readers take the last update per key.
+    */
+  def runToMemoryUpdate(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.CalTopo
+import graft.sources.{CalTopoFeatures, FeatureSink}
+
+/** Custom DSv2 GeoJSON source (A1) + partition-parallel FeatureCollection
+  * sink (A14): fixture round trips.
+  */
+class SourceSinkSpec extends SparkSpec {
+
+  private def writeFixture(dir: String): String = {
+    val doc =
+      """{"status":"ok","result":{"state":{"type":"FeatureCollection","features":[
+        |{"id":"f1","type":"Feature","properties":{"title":"A","class":"Marker"},
+        | "geometry":{"type":"Point","coordinates":[1.5,2.5,3.5,4.5]}},
+        |{"id":"f2","type":"Feature","properties":{"title":"B","class":"Folder"}},
+        |{"id":"f3","type":"Feature","properties":{"title":"C","class":"Shape"},
+        | "geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}
+        |]}}}""".stripMargin.replace("\n", "")
+    val p = Paths.get(dir, "map.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, doc)
+    p.toString
+  }
+
+  test("geojson source reads envelope documents into feature rows") {
+    val path = writeFixture("/tmp/graft-geojson-src")
+    val df = spark.read.format("graft.sources.GeoJsonSource").load(path)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    val f1 = rows(0)
+    assert(f1.getString(0) == "f1")
+    assert(f1.getString(1) == "Feature")
+    assert(f1.getString(2).contains("\"title\":\"A\""))
+    assert(f1.getString(3) == "Point")
+    assert(f1.getString(4) == "[1.5,2.5,3.5,4.5]")
+    // geometry-less feature -> null geometry columns (A5's input condition)
+    val f2 = rows(1)
+    assert(f2.isNullAt(3) && f2.isNullAt(4))
+  }
+
+  test("source rows feed the typed decode (A2) downstream") {
+    val path = writeFixture("/tmp/graft-geojson-src2")
+    val df = spark.read.format("graft.sources.GeoJsonSource").load(path)
+    val decoded = df.select(col("id"),
+      from_json(col("properties_json"),
+        "STRUCT<title: STRING, class: STRING>",
+        java.util.Collections.emptyMap[String, String]()).as("p"))
+    val classes = decoded.select(col("p.class")).collect().map(_.getString(0))
+    assert(classes.toSet == Set("Marker", "Folder", "Shape"))
+  }
+
+  test("feature sink writes one FeatureCollection per partition, all rows present") {
+    val out = "/tmp/graft-sink-out"
+    Paths.get(out).toFile.listFiles match {
+      case null => ()
+      case fs => fs.foreach(_.delete())
+    }
+    val flagship = CalTopo.flagship(CalTopoFeatures.build(spark, sfDir))
+    val n = flagship.count()
+    FeatureSink.submit(flagship.repartition(3), out)
+    val files = Paths.get(out).toFile.listFiles.filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty && files.length <= 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val total = files.map { f =>
+      val root = mapper.readTree(f)
+      assert(root.path("type").asText() == "FeatureCollection")
+      root.path("features").size()
+    }.sum
+    assert(total == n)
+  }
+}

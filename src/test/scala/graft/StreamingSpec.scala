@@ -21,6 +21,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(expected))
   }
 
+  test("mapGroupsWithState per-user counts equal batch groupBy counts") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamRunner.runToMemoryUpdate(spark,
+      StreamRunner.statefulCounts(spark,
+        StreamRunner.eventsStream(spark, sfDir)),
+      "spec_stateful")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+    assert(stream.sameElements(expected))
+  }
+
   test("session window stream equals q_stream_session batch result") {
     val stream = StreamRunner.runToMemory(spark,
       StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
