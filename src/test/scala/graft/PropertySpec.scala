@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{CalTopo, Dedup}
+
+/** Property-based invariants (SURVEY.md §5.2.3) over seeded ScalaCheck
+  * generators (raw Gen sampling — the scalatest bridge artifact isn't a
+  * dependency): coordinate truncation (length <= 3, prefix-preserving,
+  * idempotent) on random geometries; dedup invariants (planted dups pair
+  * at 1.0, canonical pair order, partition of the input) on random corpora.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val coordGen: Gen[List[Double]] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-180.0, 180.0).map(d => math.rint(d * 100) / 100)))
+
+  private def fmt(d: Double): String =
+    if (d == math.rint(d)) s"${d.toLong}.0" else d.toString
+
+  test("point truncation: <= 3 components, prefix preserved, idempotent (random coords)") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val coords = sample(Gen.listOfN(8, coordGen), seed)
+      val df = coords.zipWithIndex
+        .map { case (c, i) => (i.toString, c.map(fmt).mkString("[", ",", "]")) }
+        .toDF("id", "coords")
+        .select(col("id"),
+          struct(lit("Point").as("type"), col("coords").as("coordinates"))
+            .as("geometry"))
+      val once = df.withColumn("geometry",
+        CalTopo.truncateGeometry(col("geometry")))
+      val parsed = once.select(col("id"),
+        from_json(col("geometry.coordinates"), "array<double>",
+          java.util.Collections.emptyMap[String, String]()).as("c"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      coords.zipWithIndex.foreach { case (orig, i) =>
+        val out = parsed(i.toString)
+        assert(out.length == math.min(orig.length, 3), s"seed=$seed id=$i")
+        assert(out == orig.take(3), s"seed=$seed id=$i")
+      }
+      val twice = once.withColumn("geometry",
+        CalTopo.truncateGeometry(col("geometry")))
+      assert(twice.select("geometry.coordinates").collect()
+        .sameElements(once.select("geometry.coordinates").collect()),
+        s"not idempotent, seed=$seed")
+    }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val docGen: Gen[String] =
+    Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("minhash invariants: planted dup pairs at 1.0; pairs canonical (random corpora)") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val docs = sample(Gen.listOfN(4, docGen), seed)
+      val corpus = (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+        (100L, docs.head)).toDF("id", "text")
+      val pairs = Dedup.minhashPairs(corpus, threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.exists { case (a, b, j) => a == 0L && b == 100L && j == 1.0 },
+        s"planted dup not found, seed=$seed, pairs=${pairs.mkString(",")}")
+      pairs.foreach { case (a, b, _) => assert(a < b, s"seed=$seed") }
+    }
+  }
+
+  test("exact dedup partitions the input: group sizes sum to input size, keepers are input ids") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val docs = sample(Gen.listOfN(6, docGen), seed)
+      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = corpus.groupBy(lower(trim(col("text"))))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .collect()
+      assert(out.map(_.getAs[Long]("n")).sum == docs.length, s"seed=$seed")
+      assert(out.map(_.getAs[Long]("keeper")).toSet
+        .subsetOf((0 until 6).map(_.toLong).toSet), s"seed=$seed")
+    }
+  }
+}
