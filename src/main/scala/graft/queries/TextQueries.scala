@@ -52,6 +52,22 @@ WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50""") { (s, d) =>
         .limit(50)
     },
 
+    // B22a' — BPE-ish subword tokenization: alpha runs, digit runs, and
+    // single punctuation marks as separate tokens (regex identical in
+    // Java and RE2 for this class-only pattern).
+    Q("q_text_tokens_bpe",
+      """SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+  len(string_split(text, ' ')) AS n_words
+FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens"),
+          size(split(col("text"), " ")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
     // B22b — per-language corpus stats.
     Q("q_text_stats",
       """SELECT lang, COUNT(*) AS n_docs,

@@ -46,6 +46,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no materialized right side)") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("range-join probe filter is pushed into the events scan") {
+    val p = plan("q_join_range")
+    assert(p.contains("EqualTo(event_type,error)"))
+  }
+
+  test("rollup broadcasts all three dimension joins") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_rollup")).size == 3)
+  }
+
+  test("windowed aggregation shuffles once for the aggregate (plus output sort only)") {
+    assert("Exchange".r.findAllIn(plan("q_stream_tumbling")).size <= 2)
+  }
+
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
