@@ -75,7 +75,7 @@ FROM events ORDER BY event_id""") { (s, d) =>
     Q("q_map_funcs",
       """SELECT event_id,
   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-  len(json_keys(props)) AS n_keys,
+  CAST(len(json_keys(props)) AS INT) AS n_keys,
   array_to_string(json_keys(props), ',') AS keys_csv
 FROM events ORDER BY event_id""") { (s, d) =>
       val m = from_json(col("props"), "map<string,string>",

@@ -19,7 +19,7 @@ object MultimodalQueries {
   SELECT doc_id AS media_id, text,
     greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) AS n_frames
   FROM documents)
-SELECT media_id, u.frame_no, md5(substr(text, u.frame_no * 256 + 1, 256)) AS frame_md5
+SELECT media_id, CAST(u.frame_no AS INT) AS frame_no, md5(substr(text, u.frame_no * 256 + 1, 256)) AS frame_md5
 FROM m, UNNEST(range(0, n_frames, 2)) AS u(frame_no)
 ORDER BY media_id, frame_no""") { (s, d) =>
       Multimodal.sampleFrames(

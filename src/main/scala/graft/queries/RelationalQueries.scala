@@ -256,7 +256,7 @@ ORDER BY c_custkey""") { (s, d) =>
     // B13 — string function family (all codegen'd built-ins).
     Q("q_string_funcs",
       """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 4) AS pfx,
-  p_brand || '-' || p_type AS brand_type, LENGTH(p_name) AS name_len,
+  p_brand || '-' || p_type AS brand_type, CAST(LENGTH(p_name) AS INT) AS name_len,
   p_name LIKE '%red%' AS is_red,
   TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num
 FROM part ORDER BY p_partkey""") { (s, d) =>
@@ -273,7 +273,7 @@ FROM part ORDER BY p_partkey""") { (s, d) =>
 
     // B14 — date/time bucketing.
     Q("q_date_funcs",
-      """SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
   COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
@@ -294,8 +294,8 @@ FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""") { (s, d) =>
     Q("q_math_funcs",
       s"""SELECT l_orderkey, l_linenumber,
   ABS(l_tax - l_discount) AS tax_disc_gap,
-  FLOOR(l_extendedprice) AS price_floor,
-  CEIL(l_extendedprice) AS price_ceil,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
   CAST(ROUND(CAST($revenueSql AS DECIMAL(28,10)), 2) AS DOUBLE) AS revenue_r2,
   SQRT(l_quantity) AS qty_sqrt,
   l_orderkey % 7 AS key_mod

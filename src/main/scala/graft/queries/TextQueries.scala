@@ -19,12 +19,12 @@ object TextQueries {
     // B16 — array function family over the tokenized text (exact: sizes,
     // sorted-distinct joins, int fold via aggregate()).
     Q("q_array_funcs",
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words,
   array_to_string(string_split(text, ' ')[1:3], '_') AS first3,
-  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
   array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '_') AS first5_sorted,
   list_contains(string_split(text, ' '), 'spark') AS has_spark,
-  list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS total_chars
+  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS INT) AS total_chars
 FROM documents ORDER BY doc_id""") { (s, d) =>
       val ws = split(col("text"), " ")
       Tables.documents(s, d)
@@ -57,8 +57,8 @@ WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50""") { (s, d) =>
     // Java and RE2 for this class-only pattern).
     Q("q_text_tokens_bpe",
       """SELECT doc_id,
-  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
-  len(string_split(text, ' ')) AS n_words
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_words
 FROM documents ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -72,7 +72,7 @@ FROM documents ORDER BY doc_id""") { (s, d) =>
     Q("q_text_stats",
       """SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-  SUM(len(string_split(text, ' '))) AS total_words
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
 FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"))
@@ -86,7 +86,7 @@ FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
     // stopword ratio, mean word length (all exact-int derived).
     Q("q_text_quality",
       s"""SELECT doc_id,
-  len(string_split(text, ' ')) AS n_words,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
     / len(string_split(text, ' ')) AS diversity,
   CAST(len(list_filter(string_split(text, ' '),

@@ -28,7 +28,7 @@ object VectorQueries {
 
     // B16/B21 groundwork — per-vector norm + dims, exact double fold.
     Q("q_vector_norm",
-      s"""SELECT vec_id, len(embedding) AS dim, ${duckNorm("embedding")} AS l2_norm
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim, ${duckNorm("embedding")} AS l2_norm
 FROM embeddings ORDER BY vec_id""") { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), size(col("embedding")).as("dim"),
@@ -62,7 +62,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
 
     // B23a — multimodal join: text modality + vector modality in one row.
     Q("q_multimodal_join",
-      s"""SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dim,
+      s"""SELECT d.doc_id, d.lang, d.n_chars, CAST(len(e.embedding) AS INT) AS dim,
   ${duckNorm("e.embedding")} AS l2_norm
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ORDER BY d.doc_id""") { (s, d) =>
@@ -78,7 +78,7 @@ ORDER BY d.doc_id""") { (s, d) =>
     // image/audio blob; octet_length + md5 are the deterministic
     // "feature extraction" the oracle can replicate byte-for-byte.
     Q("q_multimodal_binary",
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS payload_md5,
   source AS media_source FROM documents ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
