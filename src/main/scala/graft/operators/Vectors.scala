@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
 
 /** Similarity search over embedding columns (SURVEY.md §2 B21): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
@@ -16,18 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Left-to-right double-fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns: native codegen'd expression
+    * ([[graft.functions.VectorExprs]]) — same left-to-right double fold as
+    * [[dotGeneric]], bitwise-identical results, ~one lambda dispatch per
+    * element cheaper.
+    */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
+
+  /** L2 norm of a float-array column (native codegen'd). */
+  def norm(a: Column): Column = VectorExprs.l2norm(a)
+
+  /** Generic (any numeric element type) HOF fold — used where the input
+    * isn't array<float>, e.g. decimal-derived double centroids.
+    */
+  def dotGeneric(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, p) => acc + p)
 
-  /** L2 norm, same fold discipline. */
-  def norm(a: Column): Column =
+  def normGeneric(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, p) => acc + p))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineGeneric(a: Column, b: Column): Column =
+    dotGeneric(a, b) / (normGeneric(a) * normGeneric(b))
 
   /** Exact brute-force top-k cosine neighbors of the vector with id
     * `queryId`. One broadcast of the single query row; one pass over the
@@ -101,7 +116,7 @@ object Vectors {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     val bestCell = centroids.crossJoin(broadcast(q))
-      .select(col("label"), cosine(col("centroid"), col("q_emb")).as("cs"))
+      .select(col("label"), cosineGeneric(col("centroid"), col("q_emb")).as("cs"))
       .orderBy(col("cs").desc, col("label")).limit(1)
       .select(col("label").as("best_label"))
     emb.join(broadcast(bestCell), col("label") === col("best_label"))
