@@ -96,6 +96,52 @@ ORDER BY id_a, id_b""") { (s, d) =>
         .orderBy("id_a", "id_b")
     },
 
+    // B3c — exact percentiles (continuous interpolation): Spark
+    // percentile == DuckDB quantile_cont; both interpolate
+    // lo + (hi - lo) * frac in IEEE double over sorted exact inputs.
+    Q("q_percentile",
+      """SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
+    // North-star composition — the training-data-prep pipeline: quality
+    // filter -> exact dedup -> survivor stats per language. One declarative
+    // plan across all three stages (Catalyst fuses the filters into the
+    // scan; the dedup groupBy is the only shuffle).
+    Q("q_pipeline_training_prep",
+      """WITH quality AS (
+  SELECT doc_id, lang, text,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS diversity
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+), kept AS (
+  SELECT MIN(doc_id) AS keeper, FIRST(lang ORDER BY doc_id) AS lang
+  FROM quality WHERE diversity >= 0.5 GROUP BY lower(trim(text))
+)
+SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val ws = split(col("text"), " ")
+      val quality = Tables.documents(s, d)
+        .filter(size(ws) >= 20)
+        .withColumn("diversity",
+          size(array_distinct(ws)).cast("double") / size(ws))
+        .filter(col("diversity") >= 0.5)
+      quality
+        .groupBy(lower(trim(col("text"))))
+        .agg(min(col("doc_id")).as("keeper"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
     // table (semantics pinned against the codegen'd path in ExtraSpec).
     Q.noOracle("q_udf_geo_truncate") { (s, d) =>
