@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md §7.5 family: an operator Spark lacks natively,
+  * composed from built-ins per the escape-hatch preference order): for
+  * each left row, the single most recent right row with the same key and
+  * `rightTime <= leftTime`.
+  *
+  * Shape: union the two sides tagged, sort within (key) by (time,
+  * right-before-left), and carry the latest right-side payload forward
+  * with last_value(ignoreNulls) — ONE shuffle on the key, no join node at
+  * all, no per-key state on the driver. At 100 TB this is the same
+  * sort-within-partitions cost as a sort-merge join but with half the
+  * inputs moved (the right side rides along in the same exchange).
+  */
+object AsofJoin {
+
+  /** `left` must have columns (key, ltime, ...); `right` (key, rtime,
+    * payload...). Returns left rows + `payloadCols` from the matched
+    * right row (null when no right row precedes). Ties on equal time:
+    * the right row sorts BEFORE the left row, so an exactly-simultaneous
+    * right row matches (<=, DuckDB ASOF semantics).
+    */
+  def backward(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      key: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((leftCols.map(col) :+ col("_t") :+ col("_side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select((leftCols.map(c =>
+          // the key is real on both sides; other left columns ride as null
+          if (c == key) col(key)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("_t") :+ col("_side")) ++ payloadCols.map(col): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_t", "_side")
+  }
+}

@@ -142,6 +142,41 @@ SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang""") { (s, 
         .orderBy("lang")
     },
 
+    // As-of join (the operator Spark lacks natively): for each purchase
+    // event, the most recent prior-or-simultaneous same-user error event.
+    // Engine: union+window composition (one shuffle, no join node);
+    // oracle: DuckDB's native ASOF JOIN.
+    Q("q_join_asof",
+      """SELECT p.event_id, e.event_id AS err_id, e.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND e.ts <= p.ts
+ORDER BY p.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_id"), col("value").as("err_value"))
+      graft.operators.AsofJoin.backward(left, "ts", right, "ts",
+          "user_id", Seq("err_id", "err_value"))
+        .select(col("event_id"), col("err_id"), col("err_value"))
+        .orderBy("event_id")
+    },
+
+    // Pivot: quantity by returnflag x linestatus as columns.
+    Q("q_pivot",
+      """SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS F,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .orderBy("l_returnflag")
+    },
+
     // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
     // table (semantics pinned against the codegen'd path in ExtraSpec).
     Q.noOracle("q_udf_geo_truncate") { (s, d) =>

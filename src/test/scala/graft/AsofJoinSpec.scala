@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** As-of join edge semantics: simultaneous rows match (<=), rows with no
+  * preceding partner get nulls, latest-of-several wins.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  test("backward as-of: <= tie matches, no-predecessor is null, latest wins") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L),  // key 1, t=100
+      (2L, 10L, 205L),  // key 2 rides same key space? no - key=10 for all
+      (3L, 10L, 300L),
+      (4L, 20L, 50L)    // key 20: no right rows at or before 50
+    ).toDF("event_id", "user_id", "ts_l")
+    val right = Seq(
+      (10L, 100L, "a"), // equal to left t=100 -> matches (<=)
+      (10L, 200L, "b"),
+      (10L, 250L, "c"),
+      (20L, 60L, "z")   // after left t=50 -> no match
+    ).toDF("user_id", "ts_r", "tag")
+    val out = AsofJoin.backward(
+        left.withColumnRenamed("ts_l", "ts"), "ts",
+        right.withColumnRenamed("ts_r", "ts"), "ts",
+        "user_id", Seq("tag"))
+      .select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("a"))   // tie at 100
+    assert(out(2L).contains("b"))   // 200 <= 205, 250 not
+    assert(out(3L).contains("c"))   // latest of a,b,c
+    assert(out(4L).isEmpty)         // nothing precedes
+  }
+}
