@@ -95,11 +95,13 @@ object Dedup {
 
   /** LSH band keys: split the signature into bands of `rows` values and hash
     * each band; a shared (band index, band hash) pair => candidate pair.
+    * The band hash feeds the `rows` longs to xxhash64 directly — no
+    * string materialization per band.
     */
   def bandKeys(mh: Column, rows: Int = 4): Column =
     transform(sequence(lit(0), (size(mh) / lit(rows)).cast("int") - 1),
       b => struct(b.as("band"),
-        xxhash64(array_join(slice(mh, b * rows + 1, lit(rows)), ",")).as("bh")))
+        xxhash64((1 to rows).map(i => element_at(mh, b * rows + i)): _*).as("bh")))
 
   /** Candidate near-dup pairs (id_a < id_b) whose estimated Jaccard (equal
     * minhash fraction) is >= threshold. `docs` must have (id, text).

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * codegen'd built-ins and avoiding a UDT.
   *
   * The generation rules below are mirrored verbatim in
-  * [[graft.queries.CalTopoOracle.featuresCte]]; any change here must change
+  * [[graft.queries.CalTopoQueries.featuresCte]]; any change here must change
   * there too. All derived doubles are either exact in binary (±0.5, ±0.25,
   * integers) or the same single IEEE division in both engines, so
   * engine-vs-oracle comparison is bit-exact.
