@@ -65,4 +65,64 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(stream.length == batch.length)
     assert(stream.sameElements(batch))
   }
+
+  test("checkpointed append-mode runs resume incrementally without duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft-stream-ckpt"
+    Seq("in", "out", "ckpt").foreach { s =>
+      val p = Paths.get(base, s)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+      Files.createDirectories(p)
+    }
+    val ev = Tables.events(spark, sfDir).orderBy("ts")
+    val n = ev.count()
+    def writeSplit(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => Files.move(f, Paths.get(base, "in", s"$name.parquet")))
+    }
+    // time-ordered halves so the second run's data genuinely advances time
+    val half = ev.limit((n / 2).toInt)
+    val ids = half.select(max(col("event_id"))).first().getLong(0)
+    writeSplit(ev.filter(col("event_id") <= ids), "f1")
+
+    def runOnce(): Unit = {
+      val agg = StreamRunner.tumblingAgg(
+        spark.readStream.schema(Tables.events(spark, sfDir).schema)
+          .parquet(s"$base/in"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterRun1 = spark.read.parquet(s"$base/out").count()
+    writeSplit(ev.filter(col("event_id") > ids), "f2")
+    runOnce()
+    val out = spark.read.parquet(s"$base/out")
+    val afterRun2 = out.count()
+    assert(afterRun2 > afterRun1, "second run appended nothing")
+    // no window written twice
+    assert(out.select("window_start_us").distinct().count() == afterRun2)
+    // every emitted window matches the batch aggregation exactly
+    val batchAgg = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("total_value"))
+    assert(out.exceptAll(batchAgg).count() == 0,
+      "an emitted window disagrees with the batch aggregation")
+  }
 }
