@@ -56,6 +56,27 @@ object StreamRunner {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Stream-stream inner join with a time-interval condition: purchases
+    * within 10 minutes after a same-user error. Watermarks on BOTH sides
+    * bound the join state — each side buffers only rows newer than
+    * (watermark - interval), so state is O(recent window), not O(stream).
+    */
+  def purchaseAfterErrorJoin(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("pur_user"),
+        col("ts").as("pur_ts"))
+      .withWatermark("pur_ts", "10 minutes")
+    errors.join(purchases,
+      expr("""pur_user = err_user
+              AND pur_ts > err_ts
+              AND pur_ts <= err_ts + INTERVAL 10 MINUTES"""))
+      .select(col("err_id"), col("pur_id"))
+  }
+
   /** Custom arbitrary-state operator (B19 escape hatch): per-user event
     * counting via mapGroupsWithState — the shape for state machines that
     * windowed aggregation can't express (session carts, fraud traces,
@@ -103,6 +124,18 @@ object StreamRunner {
       .format("memory")
       .queryName(name)
       .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Append-mode drain (stream-stream joins emit append-only). */
+  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -35,6 +35,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(expected))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamRunner.runToMemoryAppend(spark,
+      StreamRunner.purchaseAfterErrorJoin(
+        StreamRunner.eventsStream(spark, sfDir)),
+      "spec_ss_join")
+      .orderBy("err_id", "pur_id").collect()
+    val batch = StreamRunner.purchaseAfterErrorJoin(
+        graft.sources.Tables.events(spark, sfDir))
+      .orderBy("err_id", "pur_id").collect()
+    assert(stream.nonEmpty)
+    assert(stream.sameElements(batch))
+  }
+
   test("session window stream equals q_stream_session batch result") {
     val stream = StreamRunner.runToMemory(spark,
       StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
