@@ -1,8 +1,8 @@
 package graft
 
 /** Engine configuration (SURVEY.md §2 A3): the reference validates its env
-  * against a typed schema with defaults (`ShareId: string`, `DEBUG: boolean
-  * = false`; `/root/reference/task.ts:8-16,63-66`) and aborts on a missing
+  * against a typed schema with defaults (`ShareId: string`, `DEBUG` boolean
+  * defaulting false; `/root/reference/task.ts:8-16,63-66`) and aborts on a missing
   * required key. Same contract here: typed fields, declared defaults,
   * fail-fast on absent required keys.
   */

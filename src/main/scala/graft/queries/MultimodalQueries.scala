@@ -5,7 +5,7 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 
 /** SURVEY.md §2 B23 — the multimodal operator surface over the binary
-  * payload table ([[Multimodal.mediaTable]]). The corpus text is ASCII, so
+  * payload table ([[graft.operators.Multimodal.mediaTable]]). The corpus text is ASCII, so
   * byte offsets == char offsets and the frame-sampling oracle can mirror
   * the binary slicing with plain substr + md5.
   */
