@@ -114,6 +114,101 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** All `tables` sign-LSH bucket ids of a float-array column in ONE pass
+    * (array<long> of length `tables`): for table t, bit p of the bucket is
+    * the sign of the projection onto pseudo-random hyperplane t*bits+p.
+    * Plane components are ±1 from a murmur-finalized mix of (plane, dim) —
+    * deterministic, no RNG state, no stored plane matrix. The HOF
+    * formulation of this ran ~15M interpreted lambda steps per 5k vectors
+    * (SURVEY.md §7.5's "profiling shows HOF overhead" case — this is the
+    * codegen'd replacement).
+    */
+  case class LshBuckets(child: Expression, bits: Int, tables: Int)
+      extends UnaryExpression {
+    require(bits > 0 && bits <= 63 && tables > 0)
+
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"lsh_buckets expects array<float>, got ${other.catalogString}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < bits) {
+          var s = 0.0
+          var i = 0
+          while (i < x.numElements()) {
+            s += x.getFloat(i).toDouble *
+              VectorExprs.planeSign(t * bits + p, i)
+            i += 1
+          }
+          if (s > 0) bucket |= 1L << p
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val bucket = ctx.freshName("bucket")
+        val cls = VectorExprs.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |long[] $out = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $p = 0; $p < $bits; $p++) {
+           |    double $s = 0.0;
+           |    for (int $i = 0; $i < $a.numElements(); $i++) {
+           |      $s += ((double) $a.getFloat($i))
+           |        * $cls.planeSign($t * $bits + $p, $i);
+           |    }
+           |    if ($s > 0) $bucket |= 1L << $p;
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+      copy(child = newChild)
+  }
+
+  /** ±1 hyperplane component for (plane, dim): murmur64-finalized mix of
+    * the pair, lowest bit decides the sign. Public: called from generated
+    * code.
+    */
+  def planeSign(plane: Int, dim: Int): Double = {
+    var h = plane * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  def lshBuckets(a: Column, bits: Int, tables: Int): Column =
+    GraftSqlBridge.column(LshBuckets(GraftSqlBridge.expression(a), bits, tables))
+
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))

@@ -179,6 +179,52 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("sh"))
   }
 
+  /** Connected components over a near-dup pair list (id_a < id_b): each
+    * node's cluster id is the minimum id reachable from it — the "keep one
+    * doc per near-dup CLUSTER" step after pair generation. Iterative
+    * min-label propagation: O(cluster diameter) joins, each a shuffled
+    * equi-join on id; near-dup clusters are shallow (dups of dups of one
+    * original), so few iterations in practice; maxIter bounds pathology.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    // Pointer-jumping propagation: each round takes (a) the min over
+    // 1-hop neighbors AND (b) the current label OF the current label
+    // (path compression) — chains collapse in O(log diameter) rounds, so
+    // `maxIter` rounds cover chains up to 2^maxIter deep. No per-round
+    // convergence action; localCheckpoint(eager) truncates the lineage
+    // (without it round N's plan embeds all previous rounds and both
+    // Catalyst analysis and re-execution blow up — measured).
+    val edgesCk = edges.localCheckpoint(true)
+    var labels = edgesCk.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < maxIter) {
+      val nbrMin = edgesCk
+        .join(labels.select(col("id").as("dst_id"), col("cluster").as("dst_cluster")),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("dst_cluster")).as("nbr_cluster"))
+      val hop = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+      val jumped = hop
+        .join(hop.select(col("id").as("anc_id"), col("cluster").as("anc_cluster")),
+          hop("cluster") === col("anc_id"), "left")
+        .select(hop("id"),
+          least(col("cluster"), coalesce(col("anc_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
   /** Candidate pairs within Hamming distance `maxDist` of each other's
     * simhash, generated by banding the 64 bits into 4 16-bit chunks (any
     * pair at distance <= 3 shares at least one intact chunk); exact Hamming

@@ -58,39 +58,45 @@ object Vectors {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 mapped to {-1.0, +1.0}. No RNG state, stable across runs.
+  /** All table buckets per vector — native codegen'd expression
+    * ([[graft.functions.VectorExprs.LshBuckets]]).
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    when(xxhash64(plane, dim).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
+  def lshBuckets(emb: Column, bits: Int, tables: Int): Column =
+    VectorExprs.lshBuckets(emb, bits, tables)
 
-  /** `bits`-bit sign-LSH bucket id of an embedding column. */
-  def lshBucket(emb: Column, bits: Int = 8): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p =>
-        when(aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, v) => acc + v) > 0,
-          call_function("shiftleft", lit(1L), p))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-
-  /** Approximate all-pairs top-k: per LSH bucket, every vector's k nearest
-    * bucket-mates by cosine. The bucket is the shuffle key; within-bucket
-    * ranking is a Window row_number. This is the shape that survives 100 TB:
-    * candidate generation is an equi-join on bucket, never all-pairs.
+  /** Approximate all-pairs top-k via multi-table sign-LSH: `tables`
+    * independent hash tables of `bits` bits each; candidates are pairs
+    * sharing a bucket in ANY table (union across tables, deduplicated
+    * before the cosine is computed), ranked per probe by a Window
+    * row_number. A single table has near-zero recall once buckets get
+    * sparse — multiple smaller tables trade candidate count for recall
+    * (KnnSpec measures it against all-pairs ground truth). The shuffle key
+    * is (table, bucket); candidate generation stays an equi-join, never
+    * all-pairs.
     */
-  def knnLsh(emb: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val withBucket = emb.select(col("vec_id"),
-      col("embedding"), lshBucket(col("embedding"), bits).as("bucket"))
+  def knnLsh(emb: DataFrame, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
+    // candidate pairs travel as BARE ID PAIRS through bucketing and
+    // dedup — carrying the embeddings through those shuffles multiplied
+    // shuffle bytes ~30x (measured); the vectors re-join AFTER dedup
+    val withBucket = emb
+      .select(col("vec_id"),
+        posexplode(lshBuckets(col("embedding"), bits, tables))
+          .as(Seq("t", "bucket")))
     val a = withBucket.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("bucket").as("bucket_a"))
+      col("t").as("t_a"), col("bucket").as("bucket_a"))
     val b = withBucket.select(col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+      col("t").as("t_b"), col("bucket").as("bucket_b"))
+    val pairs = a.join(b,
+        col("t_a") === col("t_b") && col("bucket_a") === col("bucket_b") &&
+          col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // same pair can match in many tables
+    val embA = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val embB = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos_sim").desc, col("id_b"))
-    a.join(b, col("bucket_a") === col("bucket_b") && col("id_a") =!= col("id_b"))
+    pairs.join(broadcast(embA), "id_a")
+      .join(broadcast(embB), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -104,7 +110,7 @@ object Vectors {
     * Centroids are computed with exact DECIMAL sums so they are
     * order-independent (a float running mean would not be).
     */
-  def knnIvf(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  def knnIvf(emb: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("decimal(28,10)").as("v"))
     val labeled = dims.join(emb.select(col("vec_id"), col("label")), "vec_id")
@@ -115,11 +121,13 @@ object Vectors {
         .getField("c").as("centroid"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val bestCell = centroids.crossJoin(broadcast(q))
+    // probe the nprobe nearest cells; with nprobe >= |cells| this is exact
+    // brute force (KnnSpec pins that equivalence)
+    val probedCells = centroids.crossJoin(broadcast(q))
       .select(col("label"), cosineGeneric(col("centroid"), col("q_emb")).as("cs"))
-      .orderBy(col("cs").desc, col("label")).limit(1)
-      .select(col("label").as("best_label"))
-    emb.join(broadcast(bestCell), col("label") === col("best_label"))
+      .orderBy(col("cs").desc, col("label")).limit(nprobe)
+      .select(col("label").as("probe_label"))
+    emb.join(broadcast(probedCells), col("label") === col("probe_label"))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))

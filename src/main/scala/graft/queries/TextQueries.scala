@@ -161,6 +161,61 @@ FROM scored ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // B22f — TF-IDF-style term salience, libm-free: score = tf * (N/df)
+    // (exact rational in IEEE double — ln() differs across engines in the
+    // last ulp, so the classic log-idf is deliberately avoided). Top-3
+    // terms per doc, tie-broken by word.
+    Q("q_text_tfidf",
+      """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+    CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+  FROM scored)
+SELECT doc_id, word, score FROM ranked WHERE rn <= 3
+ORDER BY doc_id, score DESC, word""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = words.distinct().groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          (col("tf").cast("double") *
+            (col("n").cast("double") / col("df").cast("double"))).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("word"))
+    },
+
+    // B20g — near-dup cluster assignment: minhash candidate pairs ->
+    // connected components -> (id, cluster representative). Rows-only
+    // (hash-derived pairs); DedupSpec pins the component semantics.
+    Q.noOracle("q_dedup_clusters") { (s, d) =>
+      Dedup.clusters(
+        Dedup.minhashPairs(
+          Tables.documents(s, d).select(col("doc_id").as("id"), col("text")),
+          threshold = 0.5))
+        .orderBy("id")
+    },
+
     // B20a — exact dedup: group identical normalized text, keep min doc_id.
     Q("q_dedup_exact",
       """SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size

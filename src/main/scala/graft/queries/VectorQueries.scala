@@ -50,7 +50,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
     // equi-join, never all-pairs). xxhash64 hyperplanes aren't
     // SQL-replicable -> rows-only check; KnnSpec pins recall vs brute force.
     Q.noOracle("q_knn_lsh") { (s, d) =>
-      Vectors.knnLsh(Tables.embeddings(s, d), k = 5, bits = 8)
+      Vectors.knnLsh(Tables.embeddings(s, d), k = 5)
         .orderBy("id_a", "id_b")
     },
 

@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clusters: chains collapse to min-id components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters over minhash pairs group the planted dups under the min id") {
+    val got = Dedup.clusters(Dedup.minhashPairs(corpus, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2 (exact), 3 (near), 6 (shuffled multiset: distinct shingles
+    // differ, may or may not pair) — at minimum 1,2,3 share cluster 1
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
   test("shingles: short docs degrade to whole-text shingle") {
     import spark.implicits._
     val rows = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")

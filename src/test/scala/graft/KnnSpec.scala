@@ -39,7 +39,7 @@ class KnnSpec extends SparkSpec {
 
   test("lsh knn: same-bucket neighbors rank identically to exact cosine") {
     // for each returned (id_a, id_b) the cosine must equal the exact value
-    val got = Vectors.knnLsh(emb, k = 5, bits = 8).collect()
+    val got = Vectors.knnLsh(emb, k = 5).collect()
     assert(got.nonEmpty)
     // spot-check first row's cosine against a driver-side recompute
     val rows = emb.select("vec_id", "embedding").collect()
@@ -53,9 +53,45 @@ class KnnSpec extends SparkSpec {
   }
 
   test("lsh knn is deterministic across runs") {
-    val a = Vectors.knnLsh(emb, k = 5, bits = 8).orderBy("id_a", "id_b").collect()
-    val b = Vectors.knnLsh(emb, k = 5, bits = 8).orderBy("id_a", "id_b").collect()
+    val a = Vectors.knnLsh(emb, k = 5).orderBy("id_a", "id_b").collect()
+    val b = Vectors.knnLsh(emb, k = 5).orderBy("id_a", "id_b").collect()
     assert(a.sameElements(b))
+  }
+
+  test("ivf with nprobe = all cells equals brute force exactly") {
+    val nCells = emb.select("label").distinct().count().toInt
+    val ivfAll = Vectors.knnIvf(emb, 0L, 10, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll.map(_._1) == naiveTop10.map(_._1))
+    ivfAll.zip(naiveTop10).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
+  test("lsh knn recall against all-pairs ground truth is measurable and positive") {
+    // ground truth: top-5 per vector, driver-side
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val norms = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vecs = rows.toMap
+    val truth: Map[Long, Set[Long]] = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id)
+        .map { case (j, w) => (j, dot(v, w) / (norms(id) * norms(j))) }
+        .sortBy { case (j, c) => (-c, j) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Vectors.knnLsh(emb, k = 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val recalls = got.map { case (id, found) =>
+      found.intersect(truth(id)).size.toDouble / truth(id).size
+    }
+    val meanRecall = recalls.sum / math.max(recalls.size, 1)
+    // 8-bit sign-LSH on this corpus: recall floor pinned well below the
+    // measured value so the test flags real regressions, not noise
+    assert(meanRecall > 0.10, s"mean recall collapsed: $meanRecall")
+    assert(got.nonEmpty)
   }
 
   test("ivf knn returns k neighbors from the probed cell with exact cosines") {

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     * best IVF cell). Bounded work: |corpus| x 1.
     */
   private val singleRowBroadcastOk =
-    Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding")
+    Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding",
+      "q_text_tfidf") // broadcasts the single-row corpus count N
 
   test("no registered query plans a CartesianProduct") {
     Registry.all.foreach { q =>
