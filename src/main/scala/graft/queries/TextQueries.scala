@@ -216,6 +216,20 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
         .orderBy("id")
     },
 
+    // Deterministic hash sampling — the reproducible down-sampling a
+    // training pipeline needs (seeded RNG sampling depends on row order /
+    // partitioning; a key-hash predicate does not). Multiplicative hash in
+    // exact BIGINT arithmetic, identical in both engines.
+    Q("q_sample_hash",
+      """SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // B20a — exact dedup: group identical normalized text, keep min doc_id.
     Q("q_dedup_exact",
       """SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size
