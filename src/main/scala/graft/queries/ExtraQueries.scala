@@ -177,6 +177,61 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
         .orderBy("l_returnflag")
     },
 
+    // Data-quality expectations, distributed: one pass computing per-rule
+    // violation counts (conditional aggregation — no N-pass rule loop).
+    Q("q_validate",
+      """SELECT
+  COUNT(*) FILTER (l_extendedprice <= 0) AS bad_price,
+  COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS bad_discount,
+  COUNT(*) FILTER (l_orderkey IS NULL) AS null_key,
+  COUNT(*) FILTER (l_shipdate < TIMESTAMP '1990-01-01') AS bad_date,
+  COUNT(*) AS total
+FROM lineitem""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(when(col("l_extendedprice") <= 0, 1)).as("bad_price"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+            .as("bad_discount"),
+          count(when(col("l_orderkey").isNull, 1)).as("null_key"),
+          count(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp"), 1))
+            .as("bad_date"),
+          count(lit(1)).as("total"))
+    },
+
+    // CDC-style upsert merge — the reference's `since/` incremental pull
+    // implies snapshot merging: base state + an update batch -> latest row
+    // per key (highest version wins). One shuffle on the key.
+    Q("q_merge_upsert",
+      """WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version
+  FROM orders WHERE o_orderkey % 3 <> 0
+), updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, 1 AS version
+  FROM orders WHERE o_orderkey % 2 = 0
+), unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM unioned)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM ranked WHERE rn = 1
+ORDER BY o_orderkey""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(0).as("version"))
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1).as("version"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("version").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
     // table (semantics pinned against the codegen'd path in ExtraSpec).
     Q.noOracle("q_udf_geo_truncate") { (s, d) =>
