@@ -34,7 +34,11 @@ object AsofJoin {
       .withColumn("_side", lit(1))
       .select((leftCols.map(col) :+ col("_t") :+ col("_side")) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    // null-keyed right rows can never match under SQL join semantics, but
+    // a window partition WOULD group them with null-keyed left rows — drop
+    // them up front (null-keyed left rows then correctly get null payload)
     val r = right
+      .filter(col(key).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select((leftCols.map(c =>

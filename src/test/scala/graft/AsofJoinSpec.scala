@@ -33,4 +33,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L).contains("c"))   // latest of a,b,c
     assert(out(4L).isEmpty)         // nothing precedes
   }
+
+  test("null keys never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], 100L), (2L, Option(5L), 100L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Option.empty[Long], 50L, "nullside"), (Option(5L), 50L, "ok"))
+      .toDF("user_id", "ts", "tag")
+    val out = AsofJoin.backward(left, "ts", right, "ts", "user_id", Seq("tag"))
+      .select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty)       // null-keyed left row matches nothing
+    assert(out(2L).contains("ok"))
+  }
 }
