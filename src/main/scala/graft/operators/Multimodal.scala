@@ -76,6 +76,27 @@ object Multimodal {
       }
   }
 
+  /** "Resize": deterministic payload decimation — keep every `factor`-th
+    * byte (stand-in for an image downscale; a real implementation decodes,
+    * scales, re-encodes in the same partition-local batch shape). Output
+    * schema mirrors the input so resized media flows through the same
+    * downstream operators.
+    */
+  def resize(media: DataFrame, factor: Int = 4): Dataset[(Long, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          (id, out)
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th 256-byte chunk becomes a frame row
     * (id, frame_no, frame_bytes). Row-multiplying, so it runs BEFORE any
     * wide op and the caller controls post-explode partitioning.

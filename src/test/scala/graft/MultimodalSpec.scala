@@ -47,6 +47,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.features.sameElements(expected.features))
   }
 
+  test("resize: byte decimation by factor, deterministic, schema-stable") {
+    val resized = Multimodal.resize(media, factor = 4).toDF("media_id", "payload")
+    val sizes = media.select(col("media_id"), octet_length(col("payload")).as("n"))
+      .join(resized.select(col("media_id"),
+        octet_length(col("payload")).as("rn")), "media_id")
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      val (n, rn) = (r.getInt(1), r.getInt(2))
+      assert(rn == (n + 3) / 4, s"media ${r.getLong(0)}: $n -> $rn")
+    }
+    // resized media feeds the same decode operator
+    val feats = Multimodal.decodeFeatures(spark,
+      resized.withColumn("metadata",
+        struct(lit("application/octet-stream").as("mime"),
+          octet_length(col("payload")).as("n_bytes"),
+          lit("resized").as("origin"), lit("x").as("tag"))))
+    assert(feats.count() == media.count())
+  }
+
   test("frame sampling: stride-2 chunk rows with correct sizes") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val one = frames.filter(col("media_id") === 1)
