@@ -23,14 +23,17 @@ object FeatureSink {
     * `outDir`. Returns nothing driver-side except Spark's job result — no
     * collect().
     */
-  def submit(df: DataFrame, outDir: String): Unit = {
+  /** `prefix` scopes the delivery (e.g. a streaming micro-batch id) so
+    * successive submits into one directory never collide on partition ids.
+    */
+  def submit(df: DataFrame, outDir: String, prefix: String = "featurecollection"): Unit = {
     Files.createDirectories(Paths.get(outDir))
     df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("feature"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
           val body = rows.map(_.getString(0))
             .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
-          deliver(outDir, TaskContext.getPartitionId(), body)
+          deliver(outDir, prefix, TaskContext.getPartitionId(), body)
         }
       }
   }
@@ -38,8 +41,9 @@ object FeatureSink {
   /** Transport: one document per partition. File-backed here; an HTTP
     * implementation POSTs `body` instead.
     */
-  private def deliver(outDir: String, partitionId: Int, body: String): Unit =
+  private def deliver(outDir: String, prefix: String, partitionId: Int,
+      body: String): Unit =
     Files.write(
-      Paths.get(outDir, f"featurecollection-$partitionId%05d.json"),
+      Paths.get(outDir, f"$prefix-$partitionId%05d.json"),
       body.getBytes(StandardCharsets.UTF_8))
 }

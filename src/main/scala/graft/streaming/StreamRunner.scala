@@ -142,6 +142,22 @@ object StreamRunner {
     spark.table(name)
   }
 
+  /** Stream -> batch-sink bridge: deliver each micro-batch through the
+    * FeatureCollection sink (`foreachBatch` hands the sink a normal
+    * DataFrame, so ANY batch writer becomes a streaming sink — the Spark
+    * idiom for sinks without a native streaming connector, like the
+    * reference's HTTP submit).
+    */
+  def streamToFeatureSink(stream: DataFrame, outDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.FeatureSink.submit(batch, outDir, prefix = s"batch-$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Demo main: run both streaming aggs over a sf dir and print row counts.
     * Usage: runMain graft.streaming.StreamRunner <sfDir>
     */

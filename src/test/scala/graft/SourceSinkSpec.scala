@@ -53,6 +53,24 @@ class SourceSinkSpec extends SparkSpec {
     assert(classes.toSet == Set("Marker", "Folder", "Shape"))
   }
 
+  test("streaming foreachBatch delivers micro-batches through the feature sink") {
+    val out = "/tmp/graft-stream-sink-out"
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val stream = graft.streaming.StreamRunner.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.streaming.StreamRunner.streamToFeatureSink(stream, out)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = p.toFile.listFiles.filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    val total = files.map(f => mapper.readTree(f).path("features").size()).sum
+    assert(total == graft.sources.Tables.events(spark, sfDir).count())
+  }
+
   test("feature sink writes one FeatureCollection per partition, all rows present") {
     val out = "/tmp/graft-sink-out"
     Paths.get(out).toFile.listFiles match {
