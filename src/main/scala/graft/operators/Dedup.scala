@@ -202,7 +202,8 @@ object Dedup {
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var iter = 0
-    while (iter < maxIter) {
+    var done = false
+    while (!done && iter < maxIter) {
       val nbrMin = edgesCk
         .join(labels.select(col("id").as("dst_id"), col("cluster").as("dst_cluster")),
           col("dst") === col("dst_id"))
@@ -219,6 +220,10 @@ object Dedup {
           least(col("cluster"), coalesce(col("anc_cluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
+      // convergence check joins two MATERIALIZED checkpoints — cheap, and
+      // near-dup graphs typically converge in 2-3 rounds, so the exit
+      // saves most of the fixed per-round action overhead
+      done = jumped.exceptAll(labels).isEmpty
       labels = jumped
       iter += 1
     }
