@@ -232,6 +232,26 @@ ORDER BY o_orderkey""") { (s, d) =>
         .orderBy("o_orderkey")
     },
 
+    // Unpivot (melt) — the inverse of q_pivot: wide per-status quantity
+    // columns back to (flag, status, qty) long form.
+    Q("q_unpivot",
+      """WITH wide AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS F,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS O
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, status, qty
+FROM wide UNPIVOT INCLUDE NULLS (qty FOR status IN (F, O))
+ORDER BY l_returnflag, status""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "status", "qty")
+        .orderBy("l_returnflag", "status")
+    },
+
     // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
     // table (semantics pinned against the codegen'd path in ExtraSpec).
     Q.noOracle("q_udf_geo_truncate") { (s, d) =>

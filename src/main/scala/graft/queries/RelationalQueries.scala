@@ -258,7 +258,8 @@ ORDER BY c_custkey""") { (s, d) =>
       """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 4) AS pfx,
   p_brand || '-' || p_type AS brand_type, CAST(LENGTH(p_name) AS INT) AS name_len,
   p_name LIKE '%red%' AS is_red,
-  TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num
+  TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
 FROM part ORDER BY p_partkey""") { (s, d) =>
       Tables.part(s, d)
         .select(col("p_partkey"),
@@ -267,7 +268,8 @@ FROM part ORDER BY p_partkey""") { (s, d) =>
           concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
           length(col("p_name")).as("name_len"),
           col("p_name").like("%red%").as("is_red"),
-          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"))
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
         .orderBy("p_partkey")
     },
 
