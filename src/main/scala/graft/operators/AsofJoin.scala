@@ -23,11 +23,19 @@ object AsofJoin {
     * right row (null when no right row precedes). Ties on equal time:
     * the right row sorts BEFORE the left row, so an exactly-simultaneous
     * right row matches (<=, DuckDB ASOF semantics).
+    *
+    * `tieBreak` names payload columns appended to the carry window's
+    * ordering: when several right rows share the same (key, time), the one
+    * with the greatest tie-break tuple wins, deterministically across
+    * runs/partitionings. Without it the winner among exact right-side
+    * (key, time) ties is whichever row the sort happens to place last
+    * (the window order (_t, _side) alone is not a total order).
     */
   def backward(
       left: DataFrame, leftTime: String,
       right: DataFrame, rightTime: String,
-      key: String, payloadCols: Seq[String]): DataFrame = {
+      key: String, payloadCols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns
     val l = left
       .withColumn("_t", col(leftTime))
@@ -47,8 +55,11 @@ object AsofJoin {
           else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("_t") :+ col("_side")) ++ payloadCols.map(col): _*)
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    // left rows carry null tie-break values; nulls-first keeps them ordered
+    // AFTER all same-instant right rows only via _side, so the tie-break
+    // columns never reorder a left row relative to right rows
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: tieBreak.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

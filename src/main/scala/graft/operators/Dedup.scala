@@ -191,13 +191,27 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     // Pointer-jumping propagation: each round takes (a) the min over
-    // 1-hop neighbors AND (b) the current label OF the current label
-    // (path compression) — chains collapse in O(log diameter) rounds, so
-    // `maxIter` rounds cover chains up to 2^maxIter deep. No per-round
-    // convergence action; localCheckpoint(eager) truncates the lineage
-    // (without it round N's plan embeds all previous rounds and both
-    // Catalyst analysis and re-execution blow up — measured).
-    val edgesCk = edges.localCheckpoint(true)
+    // 1-hop neighbors AND (b) the label OF the current label (path
+    // compression) — chains collapse in O(log diameter) rounds, so
+    // `maxIter` rounds cover chains up to ~2^maxIter deep.
+    // localCheckpoint(eager) truncates the lineage per round (without it
+    // round N's plan embeds all previous rounds and both Catalyst
+    // analysis and re-execution blow up — measured). Round-cost design
+    // (the r1 shape ran 15x SLOWER with 8x more cores — fixed per-job
+    // overhead, VERDICT r1 §wrong.5):
+    //  - edges are hash-partitioned by dst BEFORE the one-time
+    //    checkpoint, so the per-round edge⋈label join never re-shuffles
+    //    the (bigger) edge side;
+    //  - the jump joins through the PREVIOUS generation's materialized
+    //    labels, not the round's own hop frame — a hop-with-hop self-join
+    //    re-executed the whole round subplan per side. Labels only ever
+    //    decrease and old labels are still reachable-from ancestors, so
+    //    jumping through the previous generation stays monotone-correct;
+    //  - convergence is a per-row `changed` flag computed inside the
+    //    round and tested with a narrow limit-1 scan of the round's own
+    //    just-materialized checkpoint — the exceptAll comparison launched
+    //    an extra full two-sided shuffle job every round.
+    val edgesCk = edges.repartition(col("dst")).localCheckpoint(true)
     var labels = edgesCk.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -210,21 +224,21 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("dst_cluster")).as("nbr_cluster"))
       val hop = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
+            .as("hop_cluster"))
+      val anc = labels
+        .select(col("id").as("anc_id"), col("cluster").as("anc_cluster"))
       val jumped = hop
-        .join(hop.select(col("id").as("anc_id"), col("cluster").as("anc_cluster")),
-          hop("cluster") === col("anc_id"), "left")
-        .select(hop("id"),
-          least(col("cluster"), coalesce(col("anc_cluster"), col("cluster")))
+        .join(anc, col("hop_cluster") === col("anc_id"), "left")
+        .select(col("id"), col("old_cluster"),
+          least(col("hop_cluster"), coalesce(col("anc_cluster"), col("hop_cluster")))
             .as("cluster"))
+        .select(col("id"), col("cluster"),
+          (col("cluster") =!= col("old_cluster")).as("changed"))
         .localCheckpoint(true)
-      // convergence check joins two MATERIALIZED checkpoints — cheap, and
-      // near-dup graphs typically converge in 2-3 rounds, so the exit
-      // saves most of the fixed per-round action overhead
-      done = jumped.exceptAll(labels).isEmpty
-      labels = jumped
+      done = jumped.where(col("changed")).isEmpty
+      labels = jumped.select(col("id"), col("cluster"))
       iter += 1
     }
     labels
@@ -234,19 +248,38 @@ object Dedup {
     * simhash, generated by banding the 64 bits into 4 16-bit chunks (any
     * pair at distance <= 3 shares at least one intact chunk); exact Hamming
     * distance (bit_count of XOR) filters the candidates.
+    *
+    * Shape mirrors [[minhashPairs]]: one signature pass, explode the 4
+    * chunk keys, group by chunk key, and emit in-bucket pairs from the
+    * collected member list — the previous band-key SELF-JOIN executed the
+    * expensive 64-sum signature aggregate once per side (exchange reuse
+    * does not fire here; measured as most of the query's cost, VERDICT r1
+    * §wrong.2). Buckets larger than `maxBucket` are dropped for the same
+    * reason as in minhashPairs: a mega-bucket means a pile of
+    * near-identical docs that exact dedup already collapses, and its
+    * quadratic in-bucket pair expansion is what kills the job at 100 TB.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
-      .withColumn("chunk", explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("ci"),
-          shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))))
-    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("chunk").as("chunk_a"))
-    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("chunk").as("chunk_b"))
-    a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val m = col("members")
+    val buckets = simhashSignatures(docs)
+      .select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("ci"),
+            shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(m).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(m, (a, i) =>
+          transform(slice(m, i + 2, size(m)), b =>
+            struct(
+              least(a.getField("id"), b.getField("id")).as("id_a"),
+              greatest(a.getField("id"), b.getField("id")).as("id_b"),
+              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
+                .as("hamming")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("id_a", "id_b")
   }

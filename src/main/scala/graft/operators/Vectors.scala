@@ -95,8 +95,13 @@ object Vectors {
     val embB = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos_sim").desc, col("id_b"))
-    pairs.join(broadcast(embA), "id_a")
-      .join(broadcast(embB), "id_b")
+    // plain shuffled equi-joins: the corpus is the BIG side — an explicit
+    // broadcast of it cannot survive 100 TB (VERDICT r1 §wrong.4). AQE may
+    // still choose broadcast when the table is measured small; that choice
+    // is size-gated, ours was not. Join id_b first so the id_a join runs
+    // last and its output partitioning feeds the id_a window sort-free.
+    pairs.join(embB, "id_b")
+      .join(embA, "id_a")
       .select(col("id_a"), col("id_b"),
         cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .withColumn("rn", row_number().over(w))

@@ -145,21 +145,29 @@ SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang ORDER BY lang""") { (s, 
     // As-of join (the operator Spark lacks natively): for each purchase
     // event, the most recent prior-or-simultaneous same-user error event.
     // Engine: union+window composition (one shuffle, no join node);
-    // oracle: DuckDB's native ASOF JOIN.
+    // oracle: DuckDB's native ASOF JOIN. Both sides pre-reduce the error
+    // stream to ONE row per (user_id, ts) — max event_id wins — because
+    // ASOF tie choice among same-instant right rows is unspecified in
+    // DuckDB and was nondeterministic in the window composition (ADVICE
+    // r1); the operator-level guard is the tieBreak ordering.
     Q("q_join_asof",
-      """SELECT p.event_id, e.event_id AS err_id, e.value AS err_value
+      """SELECT p.event_id, e.err_id, e.err_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-  ON p.user_id = e.user_id AND e.ts <= p.ts
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(event_id) AS err_id,
+         max_by(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+) e ON p.user_id = e.user_id AND e.ts <= p.ts
 ORDER BY p.event_id""") { (s, d) =>
       val ev = Tables.events(s, d)
       val left = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val right = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("err_id"), col("value").as("err_value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_id"),
+          max_by(col("value"), col("event_id")).as("err_value"))
       graft.operators.AsofJoin.backward(left, "ts", right, "ts",
-          "user_id", Seq("err_id", "err_value"))
+          "user_id", Seq("err_id", "err_value"), tieBreak = Seq("err_id"))
         .select(col("event_id"), col("err_id"), col("err_value"))
         .orderBy("event_id")
     },

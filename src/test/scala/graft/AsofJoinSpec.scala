@@ -34,6 +34,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty)         // nothing precedes
   }
 
+  test("tieBreak picks the greatest tie-break tuple among same-(key,ts) right rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "ts")
+    // three right rows at exactly (key=10, ts=100): rid 7 must win, on
+    // every run and partitioning (ADVICE r1: (_t, _side) alone is not a
+    // total order)
+    val right = Seq(
+      (10L, 100L, 5L, "five"),
+      (10L, 100L, 7L, "seven"),
+      (10L, 100L, 6L, "six")
+    ).toDF("user_id", "ts", "rid", "tag")
+    (1 to 3).foreach { _ =>
+      val out = AsofJoin.backward(
+          left, "ts", right.repartition(3), "ts",
+          "user_id", Seq("rid", "tag"), tieBreak = Seq("rid"))
+        .select("rid", "tag").collect()
+      assert(out.length == 1)
+      assert(out.head.getLong(0) == 7L && out.head.getString(1) == "seven")
+    }
+  }
+
   test("null keys never match (SQL join semantics)") {
     import spark.implicits._
     val left = Seq((1L, Option.empty[Long], 100L), (2L, Option(5L), 100L))
