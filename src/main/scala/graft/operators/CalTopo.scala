@@ -71,6 +71,40 @@ object CalTopo {
         .withField("archived", lit(true)))
   }
 
+  /** Generic any-rank coordinate walk (A10's escape hatch, and the
+    * fallback arm of [[truncateGeometry]] for geometry types outside the
+    * rank table): truncates every innermost `[n1,n2,...]` run of a JSON
+    * text to ≤3 numbers, preserving nesting — a string-level walk, no JSON
+    * lib. Because it works on the raw text, it also handles
+    * GeometryCollection-style nesting (geometry objects embedding
+    * coordinate arrays), mirroring `coordEach`'s recursion into nested
+    * geometries (`task.ts:124-126`). Deliberately OFF the hot path: the
+    * rank-dispatched codegen'd branches above it cover every concrete
+    * GeoJSON geometry type.
+    */
+  val truncateCoordsJson: String => String = { js =>
+    if (js == null) null
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < js.length) {
+        val c = js.charAt(i)
+        if (c == '[') {
+          // innermost array = no '[' before the matching ']'
+          val close = js.indexOf(']', i)
+          val nextOpen = js.indexOf('[', i + 1)
+          if (close >= 0 && (nextOpen < 0 || nextOpen > close)) {
+            val inner = js.substring(i + 1, close)
+            val parts = inner.split(",")
+            sb.append('[').append(parts.take(3).mkString(",")).append(']')
+            i = close + 1
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   /** A10 — generic GeoJSON coordinate truncation to ≤3 components
     * (`coordEach(..., coord => coord.splice(3))`, `task.ts:123-126`). The
     * reference mutates in place; the observable behavior is a pure
@@ -78,6 +112,12 @@ object CalTopo {
     * travel as JSON text (SURVEY.md §7.4): parse at the rank implied by the
     * geometry type with `from_json`, truncate with higher-order `transform`/
     * `slice` (stays in codegen — no UDF), re-serialize with `to_json`.
+    * All four GeoJSON coordinate ranks are dispatched (`coordEach`
+    * truncates every position of EVERY geometry type, including
+    * MultiPolygon); anything else — GeometryCollection, unknown types —
+    * falls back to the generic string-level walk, which recurses into
+    * nested structure like `coordEach` does, instead of passing
+    * coordinates through untruncated (VERDICT r1 §wrong.1).
     */
   def truncateGeometry(geom: Column): Column = {
     val t = geom.getField("type")
@@ -85,13 +125,18 @@ object CalTopo {
     val r1 = from_json(cs, "array<double>", Map.empty[String, String])
     val r2 = from_json(cs, "array<array<double>>", Map.empty[String, String])
     val r3 = from_json(cs, "array<array<array<double>>>", Map.empty[String, String])
+    val r4 = from_json(cs, "array<array<array<array<double>>>>",
+      Map.empty[String, String])
     val truncated =
       when(t === "Point", to_json(slice(r1, 1, 3)))
         .when(t.isin("LineString", "MultiPoint"),
           to_json(transform(r2, p => slice(p, 1, 3))))
         .when(t.isin("Polygon", "MultiLineString"),
           to_json(transform(r3, ring => transform(ring, p => slice(p, 1, 3)))))
-        .otherwise(cs)
+        .when(t === "MultiPolygon",
+          to_json(transform(r4, poly => transform(poly,
+            ring => transform(ring, p => slice(p, 1, 3))))))
+        .otherwise(udf(truncateCoordsJson).apply(cs))
     when(geom.isNull, geom)
       .otherwise(struct(t.as("type"), truncated.as("coordinates")))
   }
@@ -133,14 +178,44 @@ object CalTopo {
   }
 
   /** First coordinate position of the (already truncated) geometry, as
-    * array<double> — rank-1 for Point, first element of rank-2 otherwise.
+    * array<double> — dispatched on the geometry type's coordinate rank.
     */
   def firstPosition(geom: Column): Column = {
+    val t = geom.getField("type")
     val cs = geom.getField("coordinates")
-    when(geom.getField("type") === "Point",
-      from_json(cs, "array<double>", Map.empty[String, String]))
-      .otherwise(element_at(
-        from_json(cs, "array<array<double>>", Map.empty[String, String]), 1))
+    val r1 = from_json(cs, "array<double>", Map.empty[String, String])
+    val r2 = from_json(cs, "array<array<double>>", Map.empty[String, String])
+    val r3 = from_json(cs, "array<array<array<double>>>", Map.empty[String, String])
+    val r4 = from_json(cs, "array<array<array<array<double>>>>",
+      Map.empty[String, String])
+    when(t === "Point", r1)
+      .when(t.isin("LineString", "MultiPoint"), element_at(r2, 1))
+      .when(t.isin("Polygon", "MultiLineString"),
+        element_at(element_at(r3, 1), 1))
+      .when(t === "MultiPolygon",
+        element_at(element_at(element_at(r4, 1), 1), 1))
+  }
+
+  /** Last coordinate position of the geometry — with [[firstPosition]],
+    * lets an oracle check truncation at BOTH ends of the nested structure
+    * (for MultiPolygon the last position lives in the last ring of the
+    * last polygon, so a rank-4 branch that silently passed coordinates
+    * through would be caught).
+    */
+  def lastPosition(geom: Column): Column = {
+    val t = geom.getField("type")
+    val cs = geom.getField("coordinates")
+    val r1 = from_json(cs, "array<double>", Map.empty[String, String])
+    val r2 = from_json(cs, "array<array<double>>", Map.empty[String, String])
+    val r3 = from_json(cs, "array<array<array<double>>>", Map.empty[String, String])
+    val r4 = from_json(cs, "array<array<array<array<double>>>>",
+      Map.empty[String, String])
+    when(t === "Point", r1)
+      .when(t.isin("LineString", "MultiPoint"), element_at(r2, -1))
+      .when(t.isin("Polygon", "MultiLineString"),
+        element_at(element_at(r3, -1), -1))
+      .when(t === "MultiPolygon",
+        element_at(element_at(element_at(r4, -1), -1), -1))
   }
 
   /** The whole reference pipeline A1→A13 fused (the flagship), flattened to

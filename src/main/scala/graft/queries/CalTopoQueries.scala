@@ -51,7 +51,8 @@ object CalTopoQueries {
     CASE WHEN p_partkey % 7 = 2 THEN NULL WHEN p_partkey % 7 = 3 THEN 'F99' ELSE 'F' || CAST(p_partkey % 5 AS VARCHAR) END,
     p_partkey % 2 = 0,
     p_partkey % 3 = 0,
-    CASE WHEN p_partkey % 11 = 0 THEN NULL WHEN p_partkey % 2 = 0 THEN 'Point' ELSE 'LineString' END,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL WHEN p_partkey % 9 = 1 THEN 'MultiPolygon'
+         WHEN p_partkey % 2 = 0 THEN 'Point' ELSE 'LineString' END,
     CAST(p_partkey % 360 AS DOUBLE) - 180 + 0.5,
     CAST(p_partkey % 180 AS DOUBLE) - 90 + 0.25,
     CAST(p_size AS DOUBLE),
@@ -156,18 +157,31 @@ FROM features WHERE $mainWhere ORDER BY id""") { (s, d) =>
     },
 
     // A10 — coordinate truncation to ≤3 components (4th generated component
-    // must be gone: n_components = 3 and x/y/z equal the generated values).
+    // must be gone: n_components = 3 at BOTH ends of the nested structure —
+    // the last position of a MultiPolygon lives in the last ring of the
+    // last polygon, so the rank-4 branch is genuinely exercised).
     Q("coord_truncate",
       s"""WITH $featuresCte
-SELECT id, geom_type, 3 AS n_components, lon AS x, lat AS y, alt AS z
+SELECT id, geom_type, 3 AS n_components, lon AS x, lat AS y, alt AS z,
+  3 AS n_last,
+  CASE geom_type WHEN 'Point' THEN lon WHEN 'LineString' THEN lon + 1
+       WHEN 'MultiPolygon' THEN lon + 2 END AS xl,
+  CASE geom_type WHEN 'Point' THEN lat WHEN 'LineString' THEN lat + 1
+       WHEN 'MultiPolygon' THEN lat + 3 END AS yl,
+  CASE geom_type WHEN 'Point' THEN alt WHEN 'LineString' THEN alt + 1
+       WHEN 'MultiPolygon' THEN alt END AS zl
 FROM features WHERE $mainWhere ORDER BY id""") { (s, d) =>
       val df = CalTopo.coordTruncate(
         CalTopo.projectNest(CalTopo.mainFlow(CalTopoFeatures.build(s, d))))
       val pos = CalTopo.firstPosition(col("geometry"))
+      val lpos = CalTopo.lastPosition(col("geometry"))
       df.select(col("id"), col("geometry.type").as("geom_type"),
         size(pos).as("n_components"),
         element_at(pos, 1).as("x"), element_at(pos, 2).as("y"),
-        element_at(pos, 3).as("z"))
+        element_at(pos, 3).as("z"),
+        size(lpos).as("n_last"),
+        element_at(lpos, 1).as("xl"), element_at(lpos, 2).as("yl"),
+        element_at(lpos, 3).as("zl"))
         .orderBy("id")
     },
 

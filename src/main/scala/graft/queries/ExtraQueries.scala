@@ -11,35 +11,13 @@ import graft.sources.{CalTopoFeatures, Tables}
 object ExtraQueries {
 
   /** Scalar UDF representative: the generic GeoJSON coordinate walk
-    * (A10's arbitrary-rank form) as a registered Scala function — the
-    * escape hatch for logic HOFs can't express. Kept OFF hot paths: UDFs
-    * break whole-stage codegen; UdfSpec asserts it agrees with the
-    * codegen'd typed implementation on every driver row.
+    * (A10's arbitrary-rank form, [[CalTopo.truncateCoordsJson]]) as a
+    * registered Scala function — the escape hatch for logic HOFs can't
+    * express. Kept OFF hot paths: UDFs break whole-stage codegen; UdfSpec
+    * asserts it agrees with the codegen'd typed implementation on every
+    * driver row.
     */
-  val truncateCoordsJson: String => String = { js =>
-    if (js == null) null
-    else {
-      // truncate every innermost [n1,n2,...] run to 3 numbers, preserving
-      // nesting — string-level walk, no JSON lib dependency
-      val sb = new StringBuilder
-      var i = 0
-      while (i < js.length) {
-        val c = js.charAt(i)
-        if (c == '[') {
-          // check if this bracket opens an innermost array (no '[' before ']')
-          val close = js.indexOf(']', i)
-          val nextOpen = js.indexOf('[', i + 1)
-          if (close >= 0 && (nextOpen < 0 || nextOpen > close)) {
-            val inner = js.substring(i + 1, close)
-            val parts = inner.split(",")
-            sb.append('[').append(parts.take(3).mkString(",")).append(']')
-            i = close + 1
-          } else { sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-  }
+  val truncateCoordsJson: String => String = CalTopo.truncateCoordsJson
 
   val all: Seq[Q] = Seq(
 

@@ -68,13 +68,27 @@ object CalTopoFeatures {
     val pointCoords = to_json(array(lon, lat, alt, tc))
     val lineCoords = to_json(
       array(array(lon, lat, alt, tc), array(lon + 1, lat + 1, alt + 1, tc + 1)))
+    // rank-4 geometry (two polygons, one ring each) so coord_truncate's
+    // oracle exercises truncateGeometry's MultiPolygon branch (VERDICT r1
+    // §wrong.1); all offsets are exact in binary (+1/+2/+3 on .5/.25
+    // fractions), so engine-vs-oracle doubles compare bit-exact
+    val mpolyCoords = to_json(array(
+      array(array(
+        array(lon, lat, alt, tc), array(lon + 1, lat, alt, tc + 1),
+        array(lon + 1, lat + 1, alt, tc + 2), array(lon, lat, alt, tc))),
+      array(array(
+        array(lon + 2, lat + 2, alt, tc), array(lon + 3, lat + 2, alt, tc),
+        array(lon + 2, lat + 3, alt, tc)))))
     val geomType = when(k % 11 === 0, lit(null).cast("string"))
+      .when(k % 9 === 1, lit("MultiPolygon"))
       .when(k % 2 === 0, lit("Point"))
       .otherwise(lit("LineString"))
     val geometry = when(k % 11 === 0, lit(null).cast(geometryDdl))
       .otherwise(struct(
         geomType.as("type"),
-        when(geomType === "Point", pointCoords).otherwise(lineCoords).as("coordinates")))
+        when(geomType === "Point", pointCoords)
+          .when(geomType === "MultiPolygon", mpolyCoords)
+          .otherwise(lineCoords).as("coordinates")))
 
     val feats = part.select(
       concat(lit("P"), k.cast("string")).as("id"),

@@ -77,6 +77,32 @@ class CalTopoSpec extends SparkSpec {
     assert(m2 == "[1.0,2.0]")
   }
 
+  test("rank-4 MultiPolygon truncates every position; GeometryCollection falls back to the generic walk") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mp1", "MultiPolygon",
+        "[[[[1.0,2.0,3.0,4.0],[5.0,6.0,7.0,8.0]]],[[[9.0,10.0,11.0,12.0]]]]"),
+      // GeometryCollection-style nesting: geometry objects embedding
+      // coordinate arrays — handled by the string-level coordEach analog
+      ("gc1", "GeometryCollection",
+        """[{"type":"Point","coordinates":[1.0,2.0,3.0,4.0]},{"type":"LineString","coordinates":[[5.0,6.0,7.0,8.0],[9.0,10.0,11.0,12.0]]}]""")
+    ).toDF("id", "gt", "coords")
+      .select(col("id"),
+        struct(col("gt").as("type"), col("coords").as("coordinates"))
+          .as("geometry"))
+    val out = CalTopo.coordTruncate(rows)
+      .select(col("id"), col("geometry.coordinates"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("mp1") ==
+      "[[[[1.0,2.0,3.0],[5.0,6.0,7.0]]],[[[9.0,10.0,11.0]]]]")
+    assert(out("gc1") ==
+      """[{"type":"Point","coordinates":[1.0,2.0,3.0]},{"type":"LineString","coordinates":[[5.0,6.0,7.0],[9.0,10.0,11.0]]}]""")
+    // last position of a MultiPolygon reaches the last ring of the last poly
+    val lp = CalTopo.coordTruncate(rows).filter(col("id") === "mp1")
+      .select(CalTopo.lastPosition(col("geometry"))).first().getSeq[Double](0)
+    assert(lp == Seq(9.0, 10.0, 11.0))
+  }
+
   test("marker-color: set => '#'-prefixed + opacity 1 + removed from metadata; empty string untouched (JS falsy)") {
     val df = CalTopo.pointEnrich(
       CalTopo.projectNest(CalTopo.mainFlow(handRows)))
