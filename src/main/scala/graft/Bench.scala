@@ -36,6 +36,30 @@ object Bench {
         .groupBy("k").agg(count(lit(1)), sum(col("x")), min(col("rn")))
         .orderBy("k")
         .count()
+      // operator classes the first plan doesn't touch, each of which costs
+      // seconds of one-time Janino/codegen for whichever measured query
+      // hits it first (r1: q_stream_session 13.4s vs 1.4s in isolation —
+      // pure first-touch compile): session windows, pivot, broadcast
+      // join, typed flatMap ser/de, JSON codecs, collect aggregates
+      val tiny = spark.range(100)
+        .withColumn("k", pmod(col("id"), lit(5)))
+        .withColumn("ts", timestamp_micros(col("id") * 1000000L))
+      tiny.groupBy(col("k"), session_window(col("ts"), "10 seconds"))
+        .agg(count(lit(1))).count()
+      tiny.groupBy(col("k"), window(col("ts"), "30 seconds", "10 seconds"))
+        .agg(count(lit(1))).count()
+      tiny.groupBy("k").pivot("k", Seq("0", "1")).agg(sum("id")).count()
+      tiny.join(broadcast(tiny.select(col("k").as("k2")).limit(3)),
+        col("k") === col("k2")).count()
+      tiny.select(to_json(struct(col("id"), col("k"))).as("j"))
+        .select(from_json(col("j"), "id BIGINT, k BIGINT",
+          java.util.Collections.emptyMap[String, String]())).count()
+      tiny.groupBy("k").agg(collect_list("id"), collect_set("id")).count()
+      locally {
+        import spark.implicits._
+        tiny.select(col("id"), col("k")).as[(Long, Long)]
+          .flatMap(t => Seq(t, t)).count()
+      }
     } catch { case _: Throwable => () }
     // Optional comma-separated query-name filter for profiling single
     // queries (e.g. SPARK_GRAFT_ONLY=q_dedup_clusters,q_text_tfidf).

@@ -280,9 +280,14 @@ ORDER BY id_a, id_b""") { (s, d) =>
       // lowercase, no short docs — asserted in TextSpec), so intersection
       // and set sizes — and therefore jaccard — are identical, while the
       // engine never materializes a gram string
+      // materialized ONCE: the gram-set subplan (explode + windows +
+      // dropDuplicates + collect_set) feeds both sides of the pair join,
+      // and Spark executes a self-joined subplan per side (the same trap
+      // as minhash/simhash pair generation — exchange reuse does not fire)
       val grams = Dedup.gramHashSets(
         Tables.documents(s, d).select(col("doc_id").as("id"), col("text")))
         .select(col("id").as("doc_id"), col("g"))
+        .localCheckpoint(true)
       // The neighbor window becomes an exploded equi-join (a raw `BETWEEN`
       // theta-join would plan as a nested loop — dead at scale).
       val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
