@@ -15,13 +15,25 @@ object Catalog {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** The table exactly as the query surface sees it: `events` goes through
+    * the same nanos→TIMESTAMP normalization `Sql.register` applies, so the
+    * introspection surface never disagrees with the queryable surface
+    * (ADVICE r1: raw-load reported `ts BIGINT` while queries saw
+    * `ts TIMESTAMP`).
+    */
+  private def queryable(spark: SparkSession, dir: String, table: String) =
+    table match {
+      case "events" => Tables.events(spark, dir)
+      case t        => Tables.load(spark, dir, t)
+    }
+
   /** Schema of a driver table as Spark's JSON schema encoding. */
   def schemaJson(spark: SparkSession, dir: String, table: String): String =
-    Tables.load(spark, dir, table).schema.json
+    queryable(spark, dir, table).schema.json
 
   /** Schema of a driver table as DDL (`col TYPE, ...`). */
   def schemaDdl(spark: SparkSession, dir: String, table: String): String =
-    Tables.load(spark, dir, table).schema.toDDL
+    queryable(spark, dir, table).schema.toDDL
 
   /** The strict feature-record schema (the engine's "Output" type). */
   def featureSchemaJson: String = CalTopoFeatures.featureSchema.json

@@ -25,11 +25,17 @@ object RangeJoin {
       build: DataFrame, buildTime: String,
       width: Long,
       keys: Seq[(String, String)] = Nil): DataFrame = {
+    // FLOOR division for the bucket, not Spark's truncate-toward-zero
+    // `div`: negative times would otherwise land one bucket high and miss
+    // matches (DuckDB's `//` — the oracle's operator — floors). Subtracting
+    // pmod (always nonnegative) makes the dividend an exact multiple, so
+    // the `div` truncation is exact — all integer arithmetic, ANSI-safe.
+    def floorDiv(t: String): String = s"(($t - pmod($t, ${width}L)) div ${width}L)"
     val p = probe
-      .withColumn("_pb", expr(s"$probeTime div ${width}L"))
+      .withColumn("_pb", expr(floorDiv(probeTime)))
       .withColumn("_cb", explode(array(col("_pb"), col("_pb") + 1)))
       .drop("_pb")
-    val b = build.withColumn("_bb", expr(s"$buildTime div ${width}L"))
+    val b = build.withColumn("_bb", expr(floorDiv(buildTime)))
     val keyCond = keys
       .map { case (pk, bk) => p(pk) === b(bk) }
       .foldLeft(col("_cb") === col("_bb"))(_ && _)

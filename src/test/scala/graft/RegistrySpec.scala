@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Pins the declared-surface counts that the docs (README, BASELINE.md,
+  * .claude/skills/verify/SKILL.md) cite — a silently-dropped query shows
+  * up here instead of going unnoticed behind stale prose (ADVICE r1).
+  * Update the counts HERE and in those docs together, deliberately.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("declared surface: 71 queries, 63 oracle-paired, 8 rows-only") {
+    val all = Registry.all
+    assert(all.size == 71, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 63,
+      s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
+    val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // every rows-only query must be one of the declared hash-internal ops,
+    // each value-pinned by a named spec (SURVEY.md §2.1)
+    assert(rowsOnly == Set(
+      "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_clusters", "q_knn_lsh", "q_knn_ivf",
+      "q_multimodal_decode", "q_udf_geo_truncate"))
+  }
+}
