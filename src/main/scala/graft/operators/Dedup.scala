@@ -244,6 +244,24 @@ object Dedup {
     labels
   }
 
+  /** Embedding-cosine near-dup pairs within a vec-id neighbor window (the
+    * SQL-expressible blocking stand-in; the production blocking is the LSH
+    * bucket join, [[Vectors.knnLsh]]). `emb` must have (vec_id, embedding);
+    * emits (id_a, id_b, cos_sim) for id_b in (id_a, id_a + window] with
+    * cosine >= threshold. The neighbor window is an exploded-candidate
+    * equi-join — a raw BETWEEN theta-join plans as a nested loop.
+    */
+  def embeddingPairs(emb: DataFrame, window: Int = 10,
+      threshold: Double = 0.3): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .withColumn("cand", explode(sequence(col("id_a") + 1, col("id_a") + window)))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("cand") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Candidate pairs within Hamming distance `maxDist` of each other's
     * simhash, generated by banding the 64 bits into 4 16-bit chunks (any
     * pair at distance <= 3 shares at least one intact chunk); exact Hamming

@@ -148,6 +148,34 @@ FROM islands GROUP BY user_id, sid ORDER BY user_id, session_start_us""") { (s, 
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"))
         .orderBy("user_id", "session_start_us")
+    },
+
+    // B19d — dedup-by-key, batch form (streaming form:
+    // [[graft.streaming.StreamRunner.dedupByKey]]). The batch semantics
+    // are made deterministic — first row per (user_id, event_type) by
+    // (ts, event_id) — because streaming first-ARRIVAL depends on replay
+    // order; StreamingSpec bridges the two by key set. One shuffle
+    // (window partition), filter rn=1 — at 100 TB this is the standard
+    // keep-one-per-key repair after an at-least-once ingest.
+    Q("q_stream_dedup",
+      """WITH r AS (
+  SELECT user_id, event_type, event_id, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, event_type, event_id AS first_event_id,
+  epoch_us(ts) AS first_ts_us
+FROM r WHERE rn = 1 ORDER BY user_id, event_type""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"),
+          unix_micros(col("ts")).as("first_ts_us"))
+        .orderBy("user_id", "event_type")
     }
   )
 }

@@ -63,14 +63,8 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
     ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10)
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
 ORDER BY id_a, id_b""") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        .withColumn("cand", explode(sequence(col("id_a") + 1, col("id_a") + 10)))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, col("cand") === col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Vectors.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.3)
+      graft.operators.Dedup.embeddingPairs(
+          Tables.embeddings(s, d), window = 10, threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
 
@@ -86,6 +80,23 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
         .groupBy(col("l_returnflag"))
         .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
           percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
+    // B3d — approximate percentiles: the 100 TB path for q_percentile.
+    // Exact percentile buffers every value of a group in memory (fine at
+    // sf0.1, OOM on a 100 TB fact column); percentile_approx's KLL-style
+    // sketch is bounded-memory and mergeable. Sketch internals aren't
+    // SQL-replicable -> rows-only; ExtraSpec pins the estimates against
+    // the exact percentiles within the sketch's rank-error bound.
+    Q.noOracle("q_percentile_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_approx"))
         .orderBy("l_returnflag")
     },
 

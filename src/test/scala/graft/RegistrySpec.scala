@@ -10,17 +10,18 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 71 queries, 63 oracle-paired, 8 rows-only") {
+  test("declared surface: 75 queries, 66 oracle-paired, 9 rows-only") {
     val all = Registry.all
-    assert(all.size == 71, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 63,
+    assert(all.size == 75, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 66,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // every rows-only query must be one of the declared hash-internal ops,
-    // each value-pinned by a named spec (SURVEY.md §2.1)
+    // every rows-only query must be one of the declared sketch/hash-internal
+    // ops, each value-pinned by a named spec (SURVEY.md §2.1)
     assert(rowsOnly == Set(
-      "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_clusters", "q_knn_lsh", "q_knn_ivf",
+      "q_agg_approx_distinct", "q_percentile_approx",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+      "q_knn_lsh", "q_knn_ivf",
       "q_multimodal_decode", "q_udf_geo_truncate"))
   }
 }

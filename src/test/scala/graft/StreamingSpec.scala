@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("streaming dedup-by-key emits exactly the batch q_stream_dedup key set") {
+    // First-arrival payloads are replay-order-dependent, so the contract
+    // (and this check) is the KEY SET: one row per (user_id, event_type),
+    // the same set the deterministic batch form pins against its oracle.
+    val stream = StreamRunner.runToMemoryAppend(spark,
+      StreamRunner.dedupByKey(StreamRunner.eventsStream(spark, sfDir)),
+      "spec_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = batch("q_stream_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stream == expected)
+    assert(stream.size == StreamRunner.runToMemoryAppend(spark,
+      StreamRunner.dedupByKey(StreamRunner.eventsStream(spark, sfDir)),
+      "spec_dedup2").count())
+  }
+
   test("session window stream equals q_stream_session batch result") {
     val stream = StreamRunner.runToMemory(spark,
       StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
