@@ -378,12 +378,16 @@ GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("g", concat_ws(" ", col("w"),
-          lead("w", 1).over(seq5), lead("w", 2).over(seq5),
-          lead("w", 3).over(seq5), lead("w", 4).over(seq5)))
-        .filter(col("pos") <= col("n") - 5)
-        .select(col("doc_id"), col("g"))
+        // one window pass (all leads share the window spec): the 4-ahead
+        // lead doubles as the tail trim (null beyond the doc's last word)
+        // — no second unbounded-frame window just to count words per doc
+        .select(col("doc_id"), col("w"),
+          lead("w", 1).over(seq5).as("w1"), lead("w", 2).over(seq5).as("w2"),
+          lead("w", 3).over(seq5).as("w3"), lead("w", 4).over(seq5).as("w4"))
+        .filter(col("w4").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+            col("w4")).as("g"))
         // materialized once: both the train and test splits consume this
         // subplan, and Spark re-executes a shared subplan per consumer
         .localCheckpoint(true)
