@@ -233,6 +233,86 @@ ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // Stratified sampling: a fixed quota of k docs per language, chosen by
+    // deterministic hash rank (not RNG — reproducible across runs and
+    // partitionings). Spark pushes the rn <= k filter into the sort as a
+    // WindowGroupLimit, so each partition keeps only k rows per group
+    // before the shuffle — per-group top-k, not a full per-group sort.
+    Q("q_sample_stratified",
+      """WITH r AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 20 ORDER BY lang, rn""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    },
+
+    // Mixture rebalancing: down-sample every language to the smallest
+    // language's count (the domain-mixture step of training-data prep).
+    // Keep rule is pure integer arithmetic — hash(doc) mod group_count <
+    // min_count keeps an expected min_count docs per group — so both
+    // engines agree exactly; the per-group counts and the global min are
+    // tiny aggregates (|langs| rows), broadcast to the corpus scan.
+    Q("q_sample_mixture",
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE (d.doc_id * 2654435761) % c.cnt < m.mn
+ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val m = c.agg(min(col("cnt")).as("mn"))
+      docs.join(broadcast(c), "lang")
+        .crossJoin(broadcast(m))
+        .filter(pmod(col("doc_id") * 2654435761L, col("cnt")) < col("mn"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer vocab build: global word frequencies ranked with
+    // cumulative corpus coverage — the frequency-cutoff step of vocab
+    // construction. The global single-partition window runs over the
+    // AGGREGATED vocab (bounded by |distinct words|, not corpus size);
+    // the corpus-scale work is the explode + two-phase count.
+    Q("q_text_vocab",
+      """WITH wc AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+f AS (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word),
+r AS (SELECT word, cnt,
+  ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+  CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM f)
+SELECT CAST(rank AS INT) AS rank, word, cnt,
+  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM r WHERE rank <= 50 ORDER BY rank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val ord = Window.orderBy(col("cnt").desc, col("word"))
+      f.select(col("word"), col("cnt"),
+          row_number().over(ord).as("rank"),
+          sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"),
+          sum(col("cnt")).over(Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("total"))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("word"), col("cnt"),
+          (col("cum").cast("double") / col("total").cast("double"))
+            .as("cum_share"))
+        .orderBy("rank")
+    },
+
     // B20a — exact dedup: group identical normalized text, keep min doc_id.
     Q("q_dedup_exact",
       """SELECT MIN(doc_id) AS keeper, COUNT(*) AS group_size

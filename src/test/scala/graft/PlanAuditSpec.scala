@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val singleRowBroadcastOk =
     Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding",
-      "q_text_tfidf") // broadcasts the single-row corpus count N
+      "q_text_tfidf",     // broadcasts the single-row corpus count N
+      "q_sample_mixture") // broadcasts the single-row global min count
 
   test("no registered query plans a CartesianProduct") {
     Registry.all.foreach { q =>

@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("stratified sampling pushes the per-group quota into a WindowGroupLimit") {
+    // rn <= k over a per-lang window must prune to k rows per group
+    // BEFORE the shuffle (partial group-limit), not rank-then-filter
+    assert("WindowGroupLimit".r.findAllIn(
+      plan("q_sample_stratified")).size >= 1)
+  }
+
   test("aggregations are two-phase (partial + final hash aggregate)") {
     val p = plan("q_agg_hash")
     assert("HashAggregate".r.findAllIn(p).size >= 2)

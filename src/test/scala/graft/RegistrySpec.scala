@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 75 queries, 66 oracle-paired, 9 rows-only") {
+  test("declared surface: 78 queries, 69 oracle-paired, 9 rows-only") {
     val all = Registry.all
-    assert(all.size == 75, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 66,
+    assert(all.size == 78, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 69,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
