@@ -12,10 +12,14 @@ import graft.functions.VectorExprs
   * [[GraftExtensions.registerFunctions]] directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // runs inside the operator-optimization batch, so Catalyst's own
+    // pruning/collapsing still applies to the rewritten plan
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
+  }
 }
 
 object GraftExtensions {

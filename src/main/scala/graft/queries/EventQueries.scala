@@ -59,6 +59,39 @@ GROUP BY c.event_id ORDER BY c.event_id""") { (s, d) =>
         .orderBy("event_id")
     },
 
+    // B9'' — the SAME range semantics written as a natural theta-join,
+    // relying on [[graft.plans.RangeJoinRewriteRule]] to plan the binned
+    // equi-join automatically (no user key at all here, so without the
+    // rule this is a BroadcastNestedLoopJoin — the shape users actually
+    // write). PlanAuditSpec proves the nested loop is gone; the oracle
+    // proves the rewrite preserved semantics. The rule attaches via
+    // experimental.extraOptimizations (idempotent; production sessions
+    // get it from GraftExtensions).
+    Q("q_join_range_auto",
+      """WITH probe AS (
+  SELECT event_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, COUNT(e.event_id) AS n_any
+FROM probe p JOIN events e
+  ON epoch_us(e.ts) > p.p_ts AND epoch_us(e.ts) <= p.p_ts + 600000000
+GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
+      if (!s.experimental.extraOptimizations.contains(
+          graft.plans.RangeJoinRewriteRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewriteRule
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_ts"))
+      val build = ev.select(col("event_id").as("e_id"),
+        unix_micros(col("ts")).as("e_ts"))
+      probe.join(build,
+          col("e_ts") > col("p_ts") &&
+            col("e_ts") <= col("p_ts") + 600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(col("e_id")).as("n_any"))
+        .orderBy("event_id")
+    },
+
     // B18 — JSON extraction from the props payload.
     Q("q_json_funcs",
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

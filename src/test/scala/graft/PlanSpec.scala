@@ -37,8 +37,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("binned range join and neighbor-window jaccard avoid nested-loop joins") {
-    Seq("q_join_range", "q_dedup_ngram_jaccard", "q_dedup_minhash",
-        "q_knn_lsh").foreach { q =>
+    Seq("q_join_range", "q_join_range_auto", "q_dedup_ngram_jaccard",
+        "q_dedup_minhash", "q_knn_lsh").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

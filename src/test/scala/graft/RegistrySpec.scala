@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 78 queries, 69 oracle-paired, 9 rows-only") {
+  test("declared surface: 79 queries, 70 oracle-paired, 9 rows-only") {
     val all = Registry.all
-    assert(all.size == 78, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 69,
+    assert(all.size == 79, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 70,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
