@@ -244,6 +244,22 @@ object Dedup {
     labels
   }
 
+  /** The whole near-dedup pipeline as one operator: MinHash-LSH candidate
+    * pairs -> connected components -> keep the minimum id per cluster
+    * (docs in no cluster survive untouched). `docs` needs (id, text);
+    * passthrough columns survive with the rows. This is the composition a
+    * training pipeline actually runs — at 100 TB every stage is the
+    * bucketed/keyed shape pinned by its own spec, and the final keep is a
+    * left join against the (far smaller) label table.
+    */
+  def survivors(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val labels = clusters(minhashPairs(
+      docs.select(col("id"), col("text")), threshold))
+    docs.join(labels, Seq("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("id"))
+      .drop("cluster")
+  }
+
   /** Embedding-cosine near-dup pairs within a vec-id neighbor window (the
     * SQL-expressible blocking stand-in; the production blocking is the LSH
     * bucket join, [[Vectors.knnLsh]]). `emb` must have (vec_id, embedding);

@@ -14,6 +14,30 @@ object TextQueries {
   /** Stopword list used by quality scoring + language-marker scoring. */
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** (doc_id, g): every word 5-gram of every document, in ONE window pass
+    * (all leads share the window spec; the 4-ahead lead doubles as the
+    * tail trim — null past the doc's last word). Materialized with
+    * localCheckpoint because every consumer reads it from both sides of a
+    * join or filter split, and Spark re-executes a shared subplan per
+    * consumer. Used by q_text_contamination and q_pipeline_decontaminate.
+    */
+  private def fiveGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq5 = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(seq5).as("w1"), lead("w", 2).over(seq5).as("w2"),
+        lead("w", 3).over(seq5).as("w3"), lead("w", 4).over(seq5).as("w4"))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+          col("w4")).as("g"))
+      .localCheckpoint(true)
+  }
+
   val all: Seq[Q] = Seq(
 
     // B16 — array function family over the tokenized text (exact: sizes,
@@ -453,29 +477,57 @@ train_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0)
 SELECT doc_id, COUNT(*) AS n_shared
 FROM test_grams JOIN train_grams USING (g)
 GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val seq5 = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        // one window pass (all leads share the window spec): the 4-ahead
-        // lead doubles as the tail trim (null beyond the doc's last word)
-        // — no second unbounded-frame window just to count words per doc
-        .select(col("doc_id"), col("w"),
-          lead("w", 1).over(seq5).as("w1"), lead("w", 2).over(seq5).as("w2"),
-          lead("w", 3).over(seq5).as("w3"), lead("w", 4).over(seq5).as("w4"))
-        .filter(col("w4").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
-            col("w4")).as("g"))
-        // materialized once: both the train and test splits consume this
-        // subplan, and Spark re-executes a shared subplan per consumer
-        .localCheckpoint(true)
+      val grams = fiveGrams(s, d)
       val testGrams = grams.filter(col("doc_id") % 2 === 1).distinct()
       val trainGrams = grams.filter(col("doc_id") % 2 === 0)
         .select(col("g")).distinct()
       testGrams.join(trainGrams, "g")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // Decontamination — the other half of the contamination check: the
+    // training docs (even doc_id) that share NO 5-gram with the test
+    // split, i.e. the corpus that's safe to train on. A LEFT ANTI join
+    // against the contaminated-id list: anti joins stream the left side
+    // and never materialize unmatched rows, so at 100 TB the output costs
+    // no more than the scan plus the (distinct-bounded) gram join.
+    Q("q_pipeline_decontaminate",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-4, 0) + 1)) AS i FROM t),
+grams AS (
+  SELECT doc_id, array_to_string(ws[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM e),
+test_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1),
+bad AS (SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 2 = 0 AND g IN (SELECT g FROM test_g))
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 2 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY d.doc_id""") { (s, d) =>
+      val grams = fiveGrams(s, d)
+      val testG = grams.filter(col("doc_id") % 2 === 1)
+        .select(col("g")).distinct()
+      val bad = grams.filter(col("doc_id") % 2 === 0)
+        .join(testG, "g").select(col("doc_id")).distinct()
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0)
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // The full near-dedup pipeline as one query: minhash-LSH pairs ->
+    // connected components -> keep min id per cluster (operator:
+    // [[graft.operators.Dedup.survivors]]). Minhash internals aren't
+    // SQL-replicable -> rows-only; DedupSpec pins the composition on
+    // planted dups (near-dup group collapses to its min id, unpaired
+    // docs pass through).
+    Q.noOracle("q_dedup_pipeline") { (s, d) =>
+      Dedup.survivors(
+          Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("text"), col("lang")),
+          threshold = 0.5)
+        .select(col("id").as("doc_id"), col("lang"))
         .orderBy("doc_id")
     }
   )

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("survivors pipeline: near-dup group keeps only its min id, unpaired docs pass through") {
+    val sv = Dedup.survivors(corpus).select("id").collect()
+      .map(_.getLong(0)).toSet
+    // 1,2,3 cluster under 1 (pinned above): only 1 survives of them;
+    // 4 and 5 are unpaired and must pass through; 6 (word-shuffled) may
+    // or may not have paired, so it's unconstrained here
+    assert(sv.contains(1L) && sv.contains(4L) && sv.contains(5L))
+    assert(!sv.contains(2L) && !sv.contains(3L))
+  }
+
   test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
     import spark.implicits._
     // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;

@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 79 queries, 70 oracle-paired, 9 rows-only") {
+  test("declared surface: 81 queries, 71 oracle-paired, 10 rows-only") {
     val all = Registry.all
-    assert(all.size == 79, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 70,
+    assert(all.size == 81, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 71,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
@@ -21,7 +21,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_agg_approx_distinct", "q_percentile_approx",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
-      "q_knn_lsh", "q_knn_ivf",
+      "q_dedup_pipeline", "q_knn_lsh", "q_knn_ivf",
       "q_multimodal_decode", "q_udf_geo_truncate"))
   }
 }
