@@ -29,11 +29,26 @@ class RangeJoinRuleSpec extends SparkSpec {
     df.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Ground truth computed driver-side in plain Scala — independent of
+    * Spark's planner entirely (the session-wide injected rule would
+    * otherwise rewrite the "naive" plan too).
+    */
+  private def brute(lowerInclusive: Boolean): Set[(Long, Long)] = {
+    val (a, b) = fixtures
+    val as = a.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bs = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+    (for {
+      (aId, aTs) <- as
+      (bId, bTs) <- bs
+      if (if (lowerInclusive) bTs >= aTs else bTs > aTs) && bTs <= aTs + 300L
+    } yield (aId, bId)).toSet
+  }
+
   test("band join rewrites away the nested loop and keeps exactly the theta-join rows") {
     val (a, b) = fixtures
     val cond = col("b_ts") > col("a_ts") &&
       col("b_ts") <= col("a_ts") + 300L
-    val naive = pairs(a.join(b, cond)) // no rule: nested loop, ground truth
+    val naive = brute(lowerInclusive = false)
     val (got, plan) = withRule {
       val df = a.join(b, cond)
       (pairs(df), df.queryExecution.executedPlan.toString)
@@ -50,7 +65,7 @@ class RangeJoinRuleSpec extends SparkSpec {
     // with the band side as the LEFT join input
     val cond = col("a_ts") <= col("b_ts") &&
       col("a_ts") + 300L >= col("b_ts")
-    val naive = pairs(b.join(a, cond))
+    val naive = brute(lowerInclusive = true)
     val (got, plan) = withRule {
       val df = b.join(a, cond)
       (pairs(df), df.queryExecution.executedPlan.toString)
@@ -58,6 +73,19 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(got == naive)
     assert(got.contains((1L, 15L))) // b_ts == a_ts kept by the inclusive bound
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
+  test("BETWEEN bands rewrite (desugars to the >= / <= conjunct pair)") {
+    val (a, b) = fixtures
+    val cond = col("b_ts").between(col("a_ts"), col("a_ts") + 300L)
+    val naive = brute(lowerInclusive = true)
+    val (got, plan) = withRule {
+      val df = a.join(b, cond)
+      (pairs(df), df.queryExecution.executedPlan.toString)
+    }
+    assert(got == naive)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rewrite did not fire on BETWEEN:\n$plan")
   }
 
   test("joins with a cross-side equality conjunct are left untouched") {
