@@ -209,6 +209,101 @@ FROM r WHERE rn = 1 ORDER BY user_id, event_type""") { (s, d) =>
           col("event_id").as("first_event_id"),
           unix_micros(col("ts")).as("first_ts_us"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Funnel analysis: users progressing view -> click -> purchase, each
+    // step within 30 minutes of the previous one (first qualifying event
+    // per step). Three per-user aggregates chained by equi-joins on
+    // user_id — every stage is keyed and partial-aggregated, and each
+    // stage's frame only shrinks, so the chain scales as three cheap
+    // shuffles on the same key. All time math in exact integer micros.
+    Q("q_event_funnel",
+      """WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + 1800000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= c.t2 + 1800000000
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase""") { (s, d) =>
+      val W = 1800000000L // 30 minutes in micros
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
+          etype: String, outT: String) =
+        ev.filter(col("event_type") === etype)
+          .join(prev, "user_id")
+          .filter(col("t") > col(prevT) && col("t") <= col(prevT) + W)
+          .groupBy("user_id").agg(min(col("t")).as(outT))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val c = step(v, "t1", "click", "t2")
+      val p = step(c, "t2", "purchase", "t3")
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
+    // Time-series resampling with gap fill: per-minute event counts over
+    // the full observed span, empty minutes emitted as zero. The bin
+    // spine comes from a single-row min/max aggregate exploded to the
+    // timeline — bounded by the TIME RANGE, never by data volume — and
+    // the left join back to the binned counts is a plain equi-join on
+    // the bin. Positive epoch micros, so `div` == floor division.
+    Q("q_event_resample",
+      """WITH b AS (
+  SELECT epoch_us(MIN(ts)) // 60000000 AS mn,
+         epoch_us(MAX(ts)) // 60000000 AS mx FROM events
+), bins AS (SELECT unnest(range(mn, mx + 1)) AS bin FROM b),
+c AS (
+  SELECT epoch_us(ts) // 60000000 AS bin, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT bins.bin * 60000000 AS bin_start_us,
+  COALESCE(c.n_events, 0) AS n_events
+FROM bins LEFT JOIN c USING (bin) ORDER BY bin_start_us""") { (s, d) =>
+      val width = 60000000L // one minute in micros
+      val ev = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div ${width}L").as("bin"))
+      val bins = ev.agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("bin"))
+      val counts = ev.groupBy("bin").agg(count(lit(1)).as("n_events"))
+      bins.join(counts, Seq("bin"), "left")
+        .select((col("bin") * width).as("bin_start_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("bin_start_us")
+    },
+
+    // Fixed-width histogram of the value column per event type — the
+    // one-pass groupBy(type, bucket) shape (never a per-row UDF or a
+    // driver-side pass). floor(double/50) is identical IEEE arithmetic
+    // in both engines; the per-bucket sum aggregates in DECIMAL for
+    // engine-exact totals (double addition is order-dependent).
+    Q("q_event_histogram",
+      """SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, bucket
+ORDER BY event_type, bucket""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type", "bucket")
     }
   )
 }
