@@ -100,6 +100,38 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
         .orderBy("l_returnflag")
     },
 
+    // Z-order layout key: Morton-interleave (l_partkey, l_suppkey) — the
+    // multi-dimensional clustering key a 100 TB lineitem wants before
+    // write (`sortWithinPartitions(zorder)`), so parquet row-group
+    // min/max stats prune scans for predicates on EITHER column. Pure
+    // codegen'd bit math ([[graft.functions.ZOrder]]); the oracle
+    // replays the identical spread-mask chain in SQL.
+    Q("q_zorder_key",
+      """WITH s0 AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    l_partkey & 4294967295 AS x0, l_suppkey & 4294967295 AS y0
+  FROM lineitem),
+s1 AS (SELECT *, (x0 | (x0 << 16)) & 281470681808895 AS x1,
+               (y0 | (y0 << 16)) & 281470681808895 AS y1 FROM s0),
+s2 AS (SELECT *, (x1 | (x1 << 8)) & 71777214294589695 AS x2,
+               (y1 | (y1 << 8)) & 71777214294589695 AS y2 FROM s1),
+s3 AS (SELECT *, (x2 | (x2 << 4)) & 1085102592571150095 AS x3,
+               (y2 | (y2 << 4)) & 1085102592571150095 AS y3 FROM s2),
+s4 AS (SELECT *, (x3 | (x3 << 2)) & 3689348814741910323 AS x4,
+               (y3 | (y3 << 2)) & 3689348814741910323 AS y4 FROM s3),
+s5 AS (SELECT *, (x4 | (x4 << 1)) & 6148914691236517205 AS x5,
+               (y4 | (y4 << 1)) & 6148914691236517205 AS y5 FROM s4)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  (x5 | (y5 << 1)) AS zorder
+FROM s5 ORDER BY zorder, l_orderkey, l_linenumber""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.functions.ZOrder.interleave(col("l_partkey"),
+            col("l_suppkey")).as("zorder"))
+        .orderBy("zorder", "l_orderkey", "l_linenumber")
+    },
+
     // North-star composition — the training-data-prep pipeline: quality
     // filter -> exact dedup -> survivor stats per language. One declarative
     // plan across all three stages (Catalyst fuses the filters into the
