@@ -106,6 +106,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence: rewritten plan matches driver-side brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L) // fixed seed: deterministic
+    for (trial <- 1 to 3) {
+      val width = Seq(7L, 100L, 1000L)(trial - 1)
+      // ts ranges straddle zero and include exact bucket boundaries
+      val as = (1L to 150L).map(i => (i, rnd.between(-2000L, 2000L)))
+      val bs = (1L to 150L).map(i => (i + 1000L, rnd.between(-2000L, 2000L)))
+      val expected = (for {
+        (aId, aTs) <- as; (bId, bTs) <- bs
+        if bTs > aTs && bTs <= aTs + width
+      } yield (aId, bId)).toSet
+      val got = pairs(
+        as.toDF("a_id", "a_ts").join(bs.toDF("b_id", "b_ts"),
+          col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + width))
+      assert(got == expected, s"trial $trial (width $width)")
+    }
+  }
+
   test("outer range joins are not rewritten (inner-only rule)") {
     val (a, b) = fixtures
     val cond = col("b_ts") > col("a_ts") &&
