@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Sql
+
+/** Classic OLAP queries run VERBATIM as SQL text through [[graft.Sql.run]]
+  * (TPC-H Q1/Q6/Q3 shapes, dates shifted into the synthetic data's
+  * 1995–2001 range) — proving the SQL-text surface reaches the same
+  * Catalyst plans and passes the same oracle gate as the DataFrame API.
+  *
+  * Money math follows the engine's determinism contract: doubles cast to
+  * DECIMAL before arithmetic in BOTH engines (decimal products/sums are
+  * exact; double folds are order-dependent), outputs cast back to DOUBLE.
+  * Averages are explicit sum/count double divisions, never the engines'
+  * own AVG (whose internal accumulation differs).
+  */
+object SqlQueries {
+
+  private val q1Spark = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+           (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  private val q6Spark = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24"""
+
+  private val q3Spark = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+  val all: Seq[Q] = Seq(
+    // TPC-H Q1 shape — the pricing-summary scan+agg every OLAP engine is
+    // judged on: one fact pass, two-phase hash aggregate on a 6-group key.
+    Q("q_sql_tpch_q1", q1Spark) { (s, d) => Sql.run(s, d, q1Spark) },
+
+    // TPC-H Q6 shape — the forecast-revenue filter+sum: every predicate
+    // pushes to the parquet scan, aggregate is a single global sum.
+    Q("q_sql_tpch_q6", q6Spark) { (s, d) => Sql.run(s, d, q6Spark) },
+
+    // TPC-H Q3 shape — dim->fact->fact join chain with a top-10 by
+    // revenue; Catalyst broadcast-joins the filtered customer dim and
+    // TakeOrderedAndProject's the limit (no global sort).
+    Q("q_sql_tpch_q3", q3Spark) { (s, d) => Sql.run(s, d, q3Spark) }
+  )
+}

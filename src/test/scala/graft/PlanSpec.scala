@@ -68,6 +68,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("SQL-text TPC-H Q3 broadcast-joins the filtered dim and avoids a global sort for its top-10") {
+    val p = plan("q_sql_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("SQL-text TPC-H Q6 pushes its filters to the lineitem scan") {
+    val p = plan("q_sql_tpch_q6")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+  }
+
   test("stratified sampling pushes the per-group quota into a WindowGroupLimit") {
     // rn <= k over a per-lang window must prune to k rows per group
     // BEFORE the shuffle (partial group-limit), not rank-then-filter
