@@ -115,6 +115,53 @@ object StreamRunner {
       .toDF("user_id", "n_events")
   }
 
+  /** Custom sessionizer via flatMapGroupsWithState (B19's other escape
+    * hatch): emits one row PER SESSION — `session_window` can only
+    * aggregate within Spark's merge semantics, while this shape carries
+    * arbitrary per-session payloads (here start + event count; in
+    * production the ordered event path, entry/exit pages, etc.).
+    *
+    * Gap-island splitting runs inside the handler over the user's
+    * accumulated event times. Bounded AvailableNow replay of the single
+    * events file arrives as ONE batch, so the handler flushes every
+    * session at batch end (state.remove) — deterministic here, and
+    * StreamingSpec pins stream == the oracle-checked q_stream_session
+    * rows exactly. An unbounded deployment would instead keep the open
+    * tail in state with GroupStateTimeout.EventTimeTimeout and emit it
+    * when the watermark passes last_event + gap; state then holds one
+    * open session per active user — O(active users), not O(events).
+    */
+  def sessionizeFlat(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gap = gapMinutes * 60000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+          val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+          state.remove() // bounded replay: flush all sessions this batch
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val sessions = List.newBuilder[(Long, Long, Long)]
+            var start = ts.head; var last = ts.head; var n = 1L
+            ts.tail.foreach { t =>
+              if (t - last >= gap) {
+                sessions += ((user, start, n)); start = t; n = 0L
+              }
+              last = t; n += 1
+            }
+            sessions += ((user, start, n))
+            sessions.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start_us", "n_events")
+  }
+
   /** Drain a streaming aggregation to an in-memory table with
     * Trigger.AvailableNow (complete mode: final window results), returning
     * the materialized result. Used by StreamingSpec and the demo main.

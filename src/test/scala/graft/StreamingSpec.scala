@@ -65,6 +65,17 @@ class StreamingSpec extends SparkSpec {
       "spec_dedup2").count())
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the q_stream_session rows") {
+    val stream = StreamRunner.runToMemoryAppend(spark,
+      StreamRunner.sessionizeFlat(spark,
+        StreamRunner.eventsStream(spark, sfDir)),
+      "spec_fmgws")
+      .orderBy("user_id", "session_start_us").collect()
+    val expected = batch("q_stream_session").collect()
+    assert(stream.length == expected.length)
+    assert(stream.sameElements(expected))
+  }
+
   test("session window stream equals q_stream_session batch result") {
     val stream = StreamRunner.runToMemory(spark,
       StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
