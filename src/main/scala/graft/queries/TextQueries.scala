@@ -14,6 +14,26 @@ object TextQueries {
   /** Stopword list used by quality scoring + language-marker scoring. */
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** Sliding word-window chunking (q_text_chunk's engine): one explode per
+    * doc, chunk count floor((n-1)/stride)+1 in exact integer arithmetic,
+    * tail chunks shorter. TextSpec pins the boundary cases (1 word, exactly
+    * chunkSize words, chunkSize+1) and full-coverage reconstruction.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, chunkSize: Int,
+      stride: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L),
+          expr(s"(size(ws) - 1) div $stride"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("ws"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("ws"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+          .as("n_words"))
+
   /** (doc_id, g): every word 5-gram of every document, in ONE window pass
     * (all leads share the window spec; the 4-ahead lead doubles as the
     * tail trim — null past the doc's last word). Materialized with
@@ -442,20 +462,7 @@ SELECT doc_id, i AS chunk_id,
   array_to_string(ws[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
   CAST(len(ws[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS INT) AS n_words
 FROM e ORDER BY doc_id, chunk_id""") { (s, d) =>
-      val chunkSize = 32
-      val stride = 24
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0L),
-            expr(s"(size(ws) - 1) div $stride"))).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          array_join(slice(col("ws"),
-            (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
-            .as("chunk_text"),
-          size(slice(col("ws"),
-            (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
-            .as("n_words"))
+      chunk(Tables.documents(s, d), chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")
     },
 
