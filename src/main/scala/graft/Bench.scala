@@ -81,9 +81,13 @@ object Bench {
         // noop write forces FULL execution of every output column —
         // .count() let Catalyst prune unreferenced projections, so map-only
         // queries measured little more than scan+count (VERDICT r1 §wrong.6)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN // a crash must never masquerade as a fast timing
+        }
       }
       // release this query's localCheckpoint blocks: the ContextCleaner
       // frees them only after the driver-side RDD references are GC'd,
@@ -91,7 +95,8 @@ object Bench {
       // pressure that pathologically slows later buffer-heavy aggregates
       // (measured: q_percentile 4s early in the run, 22s late)
       System.gc()
-      name -> times.min
+      val ok = times.filterNot(_.isNaN)
+      name -> (if (ok.isEmpty) -1.0 else ok.min) // -1 marks a broken query
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -61,9 +61,16 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t") +: col("_side") +: tieBreak.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_t", "_side")
+    // the payload carries as ONE struct (null on left rows, so ignoreNulls
+    // skips them): the winning right row's columns stay together even when
+    // some of its fields are null — per-column last(ignoreNulls) would
+    // backfill a null field from an EARLIER right row, emitting a mixed
+    // row that never existed
+    val carried = unioned.withColumn("_p",
+      last(when(col("_side") === 0, struct(payloadCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("_p").getField(c).as(c)): _*)
   }
 }

@@ -110,9 +110,13 @@ object Dedup {
     * emit in-bucket pairs from the collected member list — the signature
     * subplan runs ONCE (a band-key self-join recomputed it per side,
     * measured ~2x the total cost). Buckets larger than `maxBucket` are
-    * dropped: a mega-bucket means hundreds of near-identical docs, which
-    * exact dedup already collapses, and the quadratic pair blowup inside
-    * it is exactly what kills the job at 100 TB.
+    * dropped: a mega-bucket means hundreds of near-identical docs, and
+    * the quadratic pair blowup inside it is exactly what kills the job
+    * at 100 TB. NOTE this is a deliberate recall trade: a pair whose
+    * every shared band lands in a >maxBucket bucket is LOST — run exact
+    * dedup first (it collapses identical text, the main mega-bucket
+    * source) or raise `maxBucket` where completeness matters more than
+    * the worst-case blowup.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
       numPerm: Int = 64, bandRows: Int = 4, maxBucket: Int = 256): DataFrame = {
@@ -289,9 +293,10 @@ object Dedup {
     * expensive 64-sum signature aggregate once per side (exchange reuse
     * does not fire here; measured as most of the query's cost, VERDICT r1
     * §wrong.2). Buckets larger than `maxBucket` are dropped for the same
-    * reason as in minhashPairs: a mega-bucket means a pile of
-    * near-identical docs that exact dedup already collapses, and its
-    * quadratic in-bucket pair expansion is what kills the job at 100 TB.
+    * reason — and with the same recall caveat — as in [[minhashPairs]]:
+    * the distance<=3 completeness guarantee holds only for pairs whose
+    * shared chunk bucket is under `maxBucket`; run exact dedup first or
+    * raise the cap where completeness matters more.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = 256): DataFrame = {

@@ -106,32 +106,39 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     IntegralDivide(Subtract(t, Pmod(t, Literal(w))), Literal(w))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !crossSideEquality(splitConjunctivePredicates(cond), left, right) &&
-          findBand(splitConjunctivePredicates(cond), left, right).isDefined =>
-      val Band(small, big, width) =
-        findBand(splitConjunctivePredicates(cond), left, right).get
-      val smallIsLeft = left.outputSet.contains(small)
-      val (smallSide, bigSide) = if (smallIsLeft) (left, right) else (right, left)
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (crossSideEquality(conjuncts, left, right)) j
+      else findBand(conjuncts, left, right) match {
+        case None => j
+        case Some(band) => rewrite(j, band)
+      }
+  }
 
-      // reference-point side: bucket + explode the two candidates
-      val pb = Alias(floorDiv(small, width), "_rj_pb")()
-      val projSmall = Project(smallSide.output :+ pb, smallSide)
-      val gen = Explode(CreateArray(Seq(
-        pb.toAttribute, Add(pb.toAttribute, Literal(1L)))))
-      val genOut = DataTypeUtils.toAttributes(gen.elementSchema)
-        .map(_.withName("_rj_cb"))
-      val exploded = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = genOut, child = projSmall)
+  private def rewrite(j: Join, band: Band): LogicalPlan = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val Band(small, big, width) = band
+    val smallIsLeft = left.outputSet.contains(small)
+    val (smallSide, bigSide) = if (smallIsLeft) (left, right) else (right, left)
 
-      // other side: its own bucket
-      val eb = Alias(floorDiv(big, width), "_rj_eb")()
-      val projBig = Project(bigSide.output :+ eb, bigSide)
+    // reference-point side: bucket + explode the two candidates
+    val pb = Alias(floorDiv(small, width), "_rj_pb")()
+    val projSmall = Project(smallSide.output :+ pb, smallSide)
+    val gen = Explode(CreateArray(Seq(
+      pb.toAttribute, Add(pb.toAttribute, Literal(1L)))))
+    val genOut = DataTypeUtils.toAttributes(gen.elementSchema)
+      .map(_.withName("_rj_cb"))
+    val exploded = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = genOut, child = projSmall)
 
-      val newCond = And(EqualTo(genOut.head, eb.toAttribute), cond)
-      val rejoined =
-        if (smallIsLeft) Join(exploded, projBig, Inner, Some(newCond), hint)
-        else Join(projBig, exploded, Inner, Some(newCond), hint)
-      Project(j.output, rejoined)
+    // other side: its own bucket
+    val eb = Alias(floorDiv(big, width), "_rj_eb")()
+    val projBig = Project(bigSide.output :+ eb, bigSide)
+
+    val newCond = And(EqualTo(genOut.head, eb.toAttribute), cond)
+    val rejoined =
+      if (smallIsLeft) Join(exploded, projBig, Inner, Some(newCond), hint)
+      else Join(projBig, exploded, Inner, Some(newCond), hint)
+    Project(j.output, rejoined)
   }
 }

@@ -64,9 +64,9 @@ GROUP BY c.event_id ORDER BY c.event_id""") { (s, d) =>
     // equi-join automatically (no user key at all here, so without the
     // rule this is a BroadcastNestedLoopJoin — the shape users actually
     // write). PlanAuditSpec proves the nested loop is gone; the oracle
-    // proves the rewrite preserved semantics. The rule attaches via
-    // experimental.extraOptimizations (idempotent; production sessions
-    // get it from GraftExtensions).
+    // proves the rewrite preserved semantics. The rule loads with
+    // spark.sql.extensions=graft.GraftExtensions, which every engine
+    // session (Verify/Bench/tests) sets.
     Q("q_join_range_auto",
       """WITH probe AS (
   SELECT event_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'error'
@@ -75,10 +75,6 @@ SELECT p.event_id, COUNT(e.event_id) AS n_any
 FROM probe p JOIN events e
   ON epoch_us(e.ts) > p.p_ts AND epoch_us(e.ts) <= p.p_ts + 600000000
 GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
-      if (!s.experimental.extraOptimizations.contains(
-          graft.plans.RangeJoinRewriteRule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewriteRule
       val ev = Tables.events(s, d)
       val probe = ev.filter(col("event_type") === "error")
         .select(col("event_id"), unix_micros(col("ts")).as("p_ts"))

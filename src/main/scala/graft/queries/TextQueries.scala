@@ -39,7 +39,10 @@ object TextQueries {
     * tail trim — null past the doc's last word). Materialized with
     * localCheckpoint because every consumer reads it from both sides of a
     * join or filter split, and Spark re-executes a shared subplan per
-    * consumer. Used by q_text_contamination and q_pipeline_decontaminate.
+    * consumer. LAZY checkpoint (eager=false): materializes on first
+    * execution, so plan-only consumers (plan audits, explain) run no job
+    * at build time. Used by q_text_contamination and
+    * q_pipeline_decontaminate.
     */
   private def fiveGrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -55,7 +58,7 @@ object TextQueries {
       .select(col("doc_id"),
         concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
           col("w4")).as("g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   val all: Seq[Q] = Seq(
@@ -411,7 +414,7 @@ ORDER BY id_a, id_b""") { (s, d) =>
       val grams = Dedup.gramHashSets(
         Tables.documents(s, d).select(col("doc_id").as("id"), col("text")))
         .select(col("id").as("doc_id"), col("g"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: no job until the query executes
       // The neighbor window becomes an exploded equi-join (a raw `BETWEEN`
       // theta-join would plan as a nested loop — dead at scale).
       val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))

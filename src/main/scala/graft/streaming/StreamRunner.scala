@@ -124,12 +124,16 @@ object StreamRunner {
     * Gap-island splitting runs inside the handler over the user's
     * accumulated event times. Bounded AvailableNow replay of the single
     * events file arrives as ONE batch, so the handler flushes every
-    * session at batch end (state.remove) — deterministic here, and
-    * StreamingSpec pins stream == the oracle-checked q_stream_session
-    * rows exactly. An unbounded deployment would instead keep the open
-    * tail in state with GroupStateTimeout.EventTimeTimeout and emit it
-    * when the watermark passes last_event + gap; state then holds one
-    * open session per active user — O(active users), not O(events).
+    * session at batch end — deterministic here, and StreamingSpec pins
+    * stream == the oracle-checked q_stream_session rows exactly. The
+    * single-batch contract is ENFORCED: a flushed-key marker stays in
+    * state, and a second batch touching the same key throws rather than
+    * silently emitting fragmented sessions (e.g. if the source glob ever
+    * matches a multi-file table). An unbounded deployment would instead
+    * keep the open tail in state with GroupStateTimeout.EventTimeTimeout
+    * and emit it when the watermark passes last_event + gap; state then
+    * holds one open session per active user — O(active users), not
+    * O(events).
     */
   def sessionizeFlat(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 10): DataFrame = {
@@ -143,8 +147,15 @@ object StreamRunner {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long)],
          state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
-          val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
-          state.remove() // bounded replay: flush all sessions this batch
+          val prior = state.getOption.getOrElse(Nil)
+          if (prior.headOption.contains(Long.MinValue))
+            throw new IllegalStateException(
+              s"sessionizeFlat already flushed key $user in an earlier " +
+                "micro-batch — the bounded single-batch replay contract is " +
+                "violated; use an EventTimeTimeout variant for multi-batch " +
+                "streams")
+          val ts = (prior.filterNot(_ == Long.MinValue) ++ rows.map(_._2)).sorted
+          state.update(List(Long.MinValue)) // flushed marker: fail loud later
           if (ts.isEmpty) Iterator.empty
           else {
             val sessions = List.newBuilder[(Long, Long, Long)]

@@ -55,6 +55,23 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("winning row's null payload field stays null (no cross-row column mixing)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "ts")
+    // rid=7 wins the tie but carries tag=null; the output must be
+    // (7, null) — not (7, "five") stitched from the losing row
+    val right = Seq(
+      (10L, 100L, 5L, Option("five")),
+      (10L, 100L, 7L, Option.empty[String])
+    ).toDF("user_id", "ts", "rid", "tag")
+    val out = AsofJoin.backward(left, "ts", right, "ts",
+        "user_id", Seq("rid", "tag"), tieBreak = Seq("rid"))
+      .select("rid", "tag").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 7L && out.head.isNullAt(1),
+      s"mixed payload row: ${out.head}")
+  }
+
   test("null keys never match (SQL join semantics)") {
     import spark.implicits._
     val left = Seq((1L, Option.empty[Long], 100L), (2L, Option(5L), 100L))

@@ -47,6 +47,15 @@ class PlanAuditSpec extends SparkSpec {
   private val factTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Queries allowed to broadcast a literal-equality-filtered fact slice:
+    * each is a SINGLE-ROW probe (unique-key equality), audited by hand. A
+    * generic "any literal-equality filter is bounded" escape would also
+    * admit event_type === 'error' — a constant FRACTION of the fact table
+    * (O(100 TB)), exactly the r1 knnLsh failure mode.
+    */
+  private val singleKeyProbeBroadcastOk =
+    Set("q_knn_cosine", "q_knn_ivf", "q_text_tfidf", "q_dedup_embedding")
+
   test("no explicit broadcast hint covers an unbounded fact-table scan") {
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -55,16 +64,17 @@ class PlanAuditSpec extends SparkSpec {
       analyzed.foreach {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
           // shapes that bound the broadcast size regardless of table
-          // growth: an aggregate, a limit, or a literal-equality filter
-          // (single-key probe) anywhere in the hinted subtree
+          // growth: an aggregate, a limit, or — only for the hand-audited
+          // single-row-probe queries — a literal-equality filter
           val bounded = h.child.exists {
             case _: Aggregate   => true
             case _: GlobalLimit => true
-            case f: Filter => f.condition.exists {
-              case EqualTo(_, _: Literal) => true
-              case EqualTo(_: Literal, _) => true
-              case _                      => false
-            }
+            case f: Filter if singleKeyProbeBroadcastOk(q.name) =>
+              f.condition.exists {
+                case EqualTo(_, _: Literal) => true
+                case EqualTo(_: Literal, _) => true
+                case _                      => false
+              }
             case _ => false
           }
           if (!bounded) {
