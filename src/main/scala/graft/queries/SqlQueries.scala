@@ -56,7 +56,24 @@ GROUP BY l_orderkey, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10"""
 
+  private val groupingSetsSpark = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+  COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio,
+  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   val all: Seq[Q] = Seq(
+    // B4 completion beyond rollup/cube: arbitrary GROUPING SETS with
+    // GROUPING() flags disambiguating real NULLs from subtotal rows —
+    // one Expand + one aggregate, same two-phase scale shape as rollup.
+    Q("q_sql_grouping_sets", groupingSetsSpark) { (s, d) =>
+      Sql.run(s, d, groupingSetsSpark)
+    },
+
     // TPC-H Q1 shape — the pricing-summary scan+agg every OLAP engine is
     // judged on: one fact pass, two-phase hash aggregate on a 6-group key.
     Q("q_sql_tpch_q1", q1Spark) { (s, d) => Sql.run(s, d, q1Spark) },
