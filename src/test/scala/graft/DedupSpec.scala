@@ -75,6 +75,37 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("clusters equal a union-find reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L) // fixed seed: deterministic
+    for (trial <- 1 to 3) {
+      // random graphs with long chains and dense pockets — the shapes
+      // that stress pointer-jumping convergence within maxIter
+      val n = 120
+      val edges = (1 to 150).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // canonical label: min node id in the component
+          val root = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(o => find(o.toInt) == root).min
+        }).toMap
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("survivors pipeline: near-dup group keeps only its min id, unpaired docs pass through") {
     val sv = Dedup.survivors(corpus).select("id").collect()
       .map(_.getLong(0)).toSet
