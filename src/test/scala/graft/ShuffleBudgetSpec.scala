@@ -1,0 +1,118 @@
+package graft
+
+import graft.queries.Registry
+
+/** Shuffle-budget regression pin: every registry query's physical plan
+  * carries at most its recorded number of Exchange nodes. A future edit
+  * that silently adds a shuffle (a lost partitioning reuse, an
+  * accidental repartition, a broadcast that degraded to shuffle) fails
+  * here instead of surfacing as an unexplained bench regression.
+  * Budgets are the plan's Exchange node count (partition-count
+  * independent); re-record deliberately when a query's shape changes.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val budget: Map[String, Int] = Map(
+    "coalesce_default" -> 1,
+    "coord_truncate" -> 1,
+    "filter_geometry" -> 1,
+    "flagship" -> 2,
+    "folder_dim" -> 1,
+    "folder_join" -> 2,
+    "point_enrich" -> 1,
+    "project_nest" -> 1,
+    "q_agg_approx_distinct" -> 2,
+    "q_agg_distinct" -> 3,
+    "q_agg_hash" -> 2,
+    "q_array_funcs" -> 1,
+    "q_cube" -> 2,
+    "q_date_funcs" -> 2,
+    "q_dedup_clusters" -> 1,
+    "q_dedup_embedding" -> 2,
+    "q_dedup_exact" -> 2,
+    "q_dedup_minhash" -> 4,
+    "q_dedup_ngram_jaccard" -> 2,
+    "q_dedup_pipeline" -> 3,
+    "q_dedup_simhash" -> 4,
+    "q_dedup_wordset" -> 2,
+    "q_event_funnel" -> 13,
+    "q_event_histogram" -> 2,
+    "q_event_resample" -> 3,
+    "q_except" -> 3,
+    "q_filter_project" -> 1,
+    "q_intersect" -> 3,
+    "q_join_anti" -> 2,
+    "q_join_asof" -> 3,
+    "q_join_broadcast" -> 3,
+    "q_join_outer" -> 3,
+    "q_join_range" -> 3,
+    "q_join_range_auto" -> 3,
+    "q_join_semi" -> 2,
+    "q_join_shuffle" -> 4,
+    "q_json_funcs" -> 1,
+    "q_knn_cosine" -> 1,
+    "q_knn_ivf" -> 6,
+    "q_knn_lsh" -> 6,
+    "q_map_funcs" -> 1,
+    "q_math_funcs" -> 1,
+    "q_merge_upsert" -> 2,
+    "q_multimodal_binary" -> 1,
+    "q_multimodal_decode" -> 1,
+    "q_multimodal_frames" -> 1,
+    "q_multimodal_join" -> 2,
+    "q_percentile" -> 2,
+    "q_percentile_approx" -> 2,
+    "q_pipeline_decontaminate" -> 5,
+    "q_pipeline_training_prep" -> 3,
+    "q_pivot" -> 3,
+    "q_rollup" -> 5,
+    "q_sample_hash" -> 1,
+    "q_sample_mixture" -> 6,
+    "q_sample_stratified" -> 2,
+    "q_sql_grouping_sets" -> 2,
+    "q_sql_tpch_q1" -> 2,
+    "q_sql_tpch_q3" -> 3,
+    "q_sql_tpch_q6" -> 1,
+    "q_stream_dedup" -> 2,
+    "q_stream_session" -> 2,
+    "q_stream_sliding" -> 2,
+    "q_stream_tumbling" -> 2,
+    "q_string_funcs" -> 1,
+    "q_text_chunk" -> 1,
+    "q_text_contamination" -> 5,
+    "q_text_fingerprint" -> 1,
+    "q_text_langid" -> 1,
+    "q_text_quality" -> 1,
+    "q_text_stats" -> 2,
+    "q_text_tfidf" -> 6,
+    "q_text_tokens" -> 1,
+    "q_text_tokens_bpe" -> 1,
+    "q_text_vocab" -> 2,
+    "q_topk" -> 0,
+    "q_udaf_weighted_avg" -> 2,
+    "q_udf_geo_truncate" -> 1,
+    "q_udtf_flatmap" -> 1,
+    "q_union" -> 1,
+    "q_unpivot" -> 3,
+    "q_validate" -> 1,
+    "q_vector_norm" -> 1,
+    "q_window_frame" -> 2,
+    "q_window_rank" -> 2,
+    "q_zorder_key" -> 1,
+    "scan_source" -> 1,
+    "style_casts" -> 1,
+    "typed_decode" -> 1)
+
+  test("no registry query plans more Exchanges than its recorded budget") {
+    val over = Registry.all.flatMap { q =>
+      val n = "Exchange".r.findAllIn(
+        q.build(spark, sfDir).queryExecution.executedPlan.toString).size
+      budget.get(q.name) match {
+        case Some(b) if n > b => Some(s"${q.name}: $n > budget $b")
+        case None             => Some(s"${q.name}: no recorded budget (add it: $n)")
+        case _                => None
+      }
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
