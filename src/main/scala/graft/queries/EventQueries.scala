@@ -237,14 +237,20 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("t"))
+      // each stage feeds TWO consumers (its count + the next stage's
+      // build side) and Spark re-executes a shared subplan per consumer —
+      // a repeated full fact pass at 100 TB. Lazy checkpoints materialize
+      // each stage once at execution, nothing at plan time.
       def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
           etype: String, outT: String) =
         ev.filter(col("event_type") === etype)
           .join(prev, "user_id")
           .filter(col("t") > col(prevT) && col("t") <= col(prevT) + W)
           .groupBy("user_id").agg(min(col("t")).as(outT))
+          .localCheckpoint(false)
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("t")).as("t1"))
+        .localCheckpoint(false)
       val c = step(v, "t1", "click", "t2")
       val p = step(c, "t2", "purchase", "t3")
       v.agg(count(lit(1)).as("n_view"))
