@@ -30,6 +30,64 @@ object Dedup {
   private def shl(e: Column, n: Column): Column =
     call_function("shiftleft", e, n)
 
+  /** Max-tracking accumulator (LongAccumulator only sums). */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _max = 0L
+    override def isZero: Boolean = _max == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._max = _max; c
+    }
+    override def reset(): Unit = _max = 0L
+    override def add(v: Long): Unit = _max = math.max(_max, v)
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      _max = math.max(_max, o.value)
+    override def value: Long = _max
+  }
+
+  /** Live counters for the `maxBucket` recall trade of [[minhashPairs]] /
+    * [[simhashPairs]] — named accumulators, so they surface in the Spark
+    * UI / listener events automatically and survive AQE's plan cloning
+    * (a CollectMetrics/observe() node was measured losing its values or
+    * vanishing entirely under AQE re-optimization). Values are
+    * best-effort upper bounds under task retries/speculation — the same
+    * caveat as Spark's own SQL metrics.
+    */
+  final class DropStats(
+      val droppedBuckets: org.apache.spark.util.LongAccumulator,
+      val droppedMembers: org.apache.spark.util.LongAccumulator,
+      val largestBucket: MaxAccumulator) extends Serializable
+
+  /** Fresh named drop counters registered on `spark`'s context. */
+  def dropStats(spark: org.apache.spark.sql.SparkSession,
+      label: String): DropStats = {
+    val sc = spark.sparkContext
+    val lb = new MaxAccumulator
+    sc.register(lb, s"graft.dedup.$label.largest_bucket")
+    new DropStats(
+      sc.longAccumulator(s"graft.dedup.$label.dropped_buckets"),
+      sc.longAccumulator(s"graft.dedup.$label.dropped_members"),
+      lb)
+  }
+
+  /** Wrap the bucket-size column so every evaluated bucket bumps the drop
+    * counters. A scalar UDF off the codegen path — but it runs once per
+    * BUCKET (post-aggregation; there are |buckets| rows, not |corpus|), so
+    * the hot path is untouched. Marked nondeterministic so the optimizer
+    * never elides, duplicates, or reorders the side effect.
+    */
+  private def countingSize(st: DropStats, maxBucket: Int): Column = {
+    // close over the accumulators directly — they serialize into tasks
+    val (db, dm, lb) = (st.droppedBuckets, st.droppedMembers, st.largestBucket)
+    val mb = maxBucket
+    val f = udf((n: Int) => {
+      if (n > mb) { db.add(1L); dm.add(n.toLong) }
+      lb.add(n.toLong)
+      n
+    }).asNondeterministic()
+    f(size(col("members")))
+  }
+
   /** Lowercased, whitespace-split, empty-dropped words of a text column. */
   def words(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
@@ -116,16 +174,20 @@ object Dedup {
     * every shared band lands in a >maxBucket bucket is LOST — run exact
     * dedup first (it collapses identical text, the main mega-bucket
     * source) or raise `maxBucket` where completeness matters more than
-    * the worst-case blowup.
+    * the worst-case blowup. The trade is never silent: drops bump the
+    * [[DropStats]] counters (pass `stats` for handles; by default fresh
+    * named accumulators still surface in the Spark UI / listeners).
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
-      numPerm: Int = 64, bandRows: Int = 4, maxBucket: Int = 256): DataFrame = {
+      numPerm: Int = 64, bandRows: Int = 4, maxBucket: Int = 256,
+      stats: Option[DropStats] = None): DataFrame = {
+    val st = stats.getOrElse(dropStats(docs.sparkSession, "minhash"))
     val m = col("members")
     val buckets = minhashSignatures(docs, numPerm)
       .select(col("id"), col("mh"), explode(bandKeys(col("mh"), bandRows)).as("bk"))
       .groupBy(col("bk"))
       .agg(collect_list(struct(col("id"), col("mh"))).as("members"))
-      .filter(size(m).between(2, maxBucket))
+      .filter(countingSize(st, maxBucket).between(2, maxBucket))
     def estJaccard(a: Column, b: Column): Column =
       aggregate(
         zip_with(a.getField("mh"), b.getField("mh"),
@@ -299,7 +361,8 @@ object Dedup {
     * raise the cap where completeness matters more.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256, stats: Option[DropStats] = None): DataFrame = {
+    val st = stats.getOrElse(dropStats(docs.sparkSession, "simhash"))
     val m = col("members")
     val buckets = simhashSignatures(docs)
       .select(col("id"), col("sh"),
@@ -308,7 +371,7 @@ object Dedup {
             shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))).as("chunk"))
       .groupBy(col("chunk"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(m).between(2, maxBucket))
+      .filter(countingSize(st, maxBucket).between(2, maxBucket))
     buckets.select(explode(flatten(
         transform(m, (a, i) =>
           transform(slice(m, i + 2, size(m)), b =>

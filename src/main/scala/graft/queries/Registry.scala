@@ -7,7 +7,7 @@ object Registry {
   val all: Seq[Q] =
     CalTopoQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
-      ExtraQueries.all ++ SqlQueries.all
+      ExtraQueries.all ++ SqlQueries.all ++ StatQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")

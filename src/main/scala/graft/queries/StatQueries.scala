@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-3 additions: training-pipeline packing/quality statistics and
+  * analytic shapes the earlier families don't cover.
+  *
+  *  - q_pack_sequences:   contiguous token packing into fixed-budget bins —
+  *    the sequence-packing step before LLM training. Packing is PER SOURCE
+  *    (shard): the running token sum is a partitioned window, so the 100 TB
+  *    plan is one shuffle on `source` and every shard packs in parallel
+  *    (a global ORDER BY would serialize the corpus through one partition).
+  *  - q_text_repetition:  Gopher-style repetition quality signals per doc
+  *    (top-word fraction, duplicate-bigram fraction).
+  *  - q_stats_corr:       Pearson correlation / means from exact DECIMAL
+  *    power sums — order-free (hash-agg safe) where float corr() is not;
+  *    the final arithmetic is an identical IEEE expression tree in both
+  *    engines, so doubles match bitwise.
+  *  - q_event_retention:  cohort retention (first-seen day × day offset ×
+  *    distinct users) — the classic product-analytics self-aggregation.
+  */
+object StatQueries {
+
+  private val PackBudget = 512 // tokens per packed training sequence
+
+  val all: Seq[Q] = Seq(
+
+    // Sequence packing: assign docs (in deterministic doc_id order, per
+    // source shard) to fixed token-budget bins by running cumulative token
+    // count; bin = floor(tokens-before-this-doc / budget). Downstream a
+    // trainer concatenates each bin into one training sequence. The window
+    // is partitioned by source — parallel across shards at any scale.
+    Q("q_pack_sequences",
+      s"""WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT source, CAST((cum - n_tok) // $PackBudget AS INT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM c GROUP BY source, bin ORDER BY source, bin""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= "")).as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          expr(s"(cum - n_tok) div $PackBudget").cast("int"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    // Gopher-style repetition signals: fraction of words that are the
+    // single most frequent word, and fraction of bigram occurrences whose
+    // bigram repeats within the doc. Two-phase per-doc counts — corpus
+    // work is explode + hash-agg keyed by doc, no cross-doc shuffle skew.
+    // Fractions are double divisions of exact ints: bitwise-equal engines.
+    Q("q_text_repetition",
+      """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS w FROM t) GROUP BY doc_id, w),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY doc_id),
+gc AS (
+  SELECT doc_id, gm, COUNT(*) AS c
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gm
+        FROM t) GROUP BY doc_id, gm),
+dup AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g, SUM(c) AS n_g
+  FROM gc GROUP BY doc_id)
+SELECT doc_id,
+  CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+  CASE WHEN n_g > 0 THEN CAST(dup_g AS DOUBLE) / n_g ELSE 0.0 END AS dup_bigram_frac
+FROM top JOIN dup USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+      // Single-pass shape: a naive build (unigram agg ⋈ bigram agg) is a
+      // self-join that scans and explodes the corpus twice and shuffles
+      // it three times. Instead one window pass tags each position with
+      // its unigram AND its bigram (lead), a tagged explode unifies them,
+      // and ONE per-doc partitioning serves the window and both
+      // aggregations — the corpus crosses the wire exactly once.
+      val seqW = Window.partitionBy("doc_id").orderBy("pos")
+      val k = col("t.kind")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("nx", lead("w", 1).over(seqW))
+        .select(col("doc_id"), explode(filter(array(
+            struct(lit(0).as("kind"), col("w").as("tok")),
+            struct(lit(1).as("kind"),
+              when(col("nx").isNotNull,
+                concat_ws(" ", col("w"), col("nx"))).as("tok"))),
+          x => x.getField("tok").isNotNull)).as("t"))
+        .groupBy(col("doc_id"), k.as("kind"), col("t.tok").as("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("kind") === 0, col("c"))).as("top_c"),
+          sum(when(col("kind") === 0, col("c"))).as("n_words"),
+          sum(when(col("kind") === 1 && col("c") > 1, col("c"))
+            .otherwise(when(col("kind") === 1, lit(0)))).as("dup_g"),
+          sum(when(col("kind") === 1, col("c"))).as("n_g"))
+        .filter(col("n_g") > 0) // docs with no bigram: oracle's inner join
+        .select(col("doc_id"),
+          (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+          when(col("n_g") > 0, col("dup_g").cast("double") / col("n_g"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Pearson correlation from exact DECIMAL power sums. Built-in corr()
+    // accumulates doubles in partition order — nondeterministic across
+    // partitionings and engines; power sums in DECIMAL are order-free,
+    // and the closed-form corr is then one fixed IEEE expression over
+    // exactly-agreed inputs. syy/sxy are rounded to scale 0 (still exact
+    // to ~1e-15 relative) so their decimal->double cast stays inside the
+    // 2^53 mantissa — DuckDB double-rounds above it (memory: determinism).
+    Q("q_stats_corr",
+      """WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  CAST(sx AS DOUBLE) / n AS mean_qty,
+  CAST(sy AS DOUBLE) / n AS mean_price,
+  (n * CAST(ROUND(sxy, 0) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+   sqrt(n * CAST(ROUND(syy, 0) AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS corr_qty_price
+FROM s ORDER BY l_returnflag""") { (s, d) =>
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val pd = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qd).as("sx"), sum(pd).as("sy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+          sum(qd * pd).as("sxy"))
+      val (n, sx, sy) =
+        (col("n"), col("sx").cast("double"), col("sy").cast("double"))
+      sums.select(col("l_returnflag"), n,
+        (sx / n).as("mean_qty"),
+        (sy / n).as("mean_price"),
+        ((n * round(col("sxy"), 0).cast("double") - sx * sy) /
+          (sqrt(n * col("sxx").cast("double") - sx * sx) *
+            sqrt(n * round(col("syy"), 0).cast("double") - sy * sy)))
+          .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Cohort retention: first-seen day per user x day offset x distinct
+    // users. Day indices are exact integer epoch-day divisions (never raw
+    // timestamps — memory: determinism). The first-seen aggregate and the
+    // join and the final aggregate all key on user_id, so one hash
+    // partitioning serves all three at scale.
+    Q("q_event_retention",
+      """WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id)
+SELECT cohort, e.day - cohort AS offset_days,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY cohort, offset_days ORDER BY cohort, offset_days""") { (s, d) =>
+      // Single-pass shape: the textbook build (per-user MIN aggregate
+      // joined back to the event stream) scans events twice and shuffles
+      // three times; a min-over-user window computes the cohort in the
+      // same pass, so events shuffle once on user_id and once into the
+      // final (cohort, offset) aggregate.
+      val byUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .withColumn("cohort", min(col("day")).over(byUser))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "offset_days")
+    }
+  )
+}

@@ -269,13 +269,16 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
     // Deterministic hash sampling — the reproducible down-sampling a
     // training pipeline needs (seeded RNG sampling depends on row order /
     // partitioning; a key-hash predicate does not). Multiplicative hash in
-    // exact BIGINT arithmetic, identical in both engines.
+    // exact BIGINT arithmetic, identical in both engines. doc_id is masked
+    // to 31 bits first so the product stays < 2^63 for any BIGINT id
+    // (ANSI mode would throw on overflow at 100 TB id ranges).
     Q("q_sample_hash",
       """SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 100 < 10
+WHERE ((doc_id & 2147483647) * 2654435761) % 100 < 10
 ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
-        .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < 10)
+        .filter(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * 2654435761L,
+          lit(100)) < 10)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
@@ -289,14 +292,14 @@ ORDER BY doc_id""") { (s, d) =>
       """WITH r AS (
   SELECT lang, doc_id,
     ROW_NUMBER() OVER (PARTITION BY lang
-      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+      ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) AS rn
   FROM documents)
 SELECT lang, doc_id, CAST(rn AS INT) AS rn
 FROM r WHERE rn <= 20 ORDER BY lang, rn""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang")
-        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)),
-          col("doc_id"))
+        .orderBy(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * 2654435761L,
+          lit(1000000007L)), col("doc_id"))
       Tables.documents(s, d)
         .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 20)
@@ -314,14 +317,15 @@ FROM r WHERE rn <= 20 ORDER BY lang, rn""") { (s, d) =>
 m AS (SELECT MIN(cnt) AS mn FROM c)
 SELECT d.doc_id, d.lang
 FROM documents d JOIN c USING (lang) CROSS JOIN m
-WHERE (d.doc_id * 2654435761) % c.cnt < m.mn
+WHERE ((d.doc_id & 2147483647) * 2654435761) % c.cnt < m.mn
 ORDER BY d.doc_id""") { (s, d) =>
       val docs = Tables.documents(s, d)
       val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
       val m = c.agg(min(col("cnt")).as("mn"))
       docs.join(broadcast(c), "lang")
         .crossJoin(broadcast(m))
-        .filter(pmod(col("doc_id") * 2654435761L, col("cnt")) < col("mn"))
+        .filter(pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * 2654435761L,
+          col("cnt")) < col("mn"))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },

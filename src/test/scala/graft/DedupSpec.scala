@@ -134,6 +134,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((20L, 21L)))
   }
 
+  test("maxBucket drops are observable: dropped-bucket metrics reported") {
+    import spark.implicits._
+    // A trio of identical docs (all its buckets have 3 members -> dropped
+    // at maxBucket=2, losing the trio's pairs) next to an identical pair
+    // (bucket size 2 -> kept). The recall trade must be visible at
+    // runtime, not silent: the DropStats accumulators report
+    // (dropped_buckets, dropped_members, largest_bucket).
+    val trioAndPair = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "omicron sigma tau upsilon phi chi"),
+      (22L, "omicron sigma tau upsilon phi chi")).toDF("id", "text")
+    val simSt = Dedup.dropStats(spark, "simhash-test")
+    val minSt = Dedup.dropStats(spark, "minhash-test")
+    for ((name, st, df) <- Seq(
+        ("simhash", simSt,
+          Dedup.simhashPairs(trioAndPair, maxBucket = 2, stats = Some(simSt))),
+        ("minhash", minSt,
+          Dedup.minhashPairs(trioAndPair, maxBucket = 2, stats = Some(minSt))))) {
+      val pairs = df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((21L, 22L)),
+        s"$name: trio pairs dropped, pair kept — got $pairs")
+      assert(st.droppedBuckets.value >= 1, name)
+      assert(st.droppedMembers.value >= 3, name)
+      assert(st.largestBucket.value == 3L, name)
+    }
+  }
+
   test("shingles: short docs degrade to whole-text shingle") {
     import spark.implicits._
     val rows = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")

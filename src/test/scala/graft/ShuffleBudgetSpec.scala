@@ -36,6 +36,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dedup_simhash" -> 4,
     "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
+    "q_event_retention" -> 4,
     "q_event_histogram" -> 2,
     "q_event_resample" -> 3,
     "q_except" -> 3,
@@ -60,6 +61,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_decode" -> 1,
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
+    "q_pack_sequences" -> 2,
     "q_percentile" -> 2,
     "q_percentile_approx" -> 2,
     "q_pipeline_decontaminate" -> 5,
@@ -70,6 +72,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_sample_mixture" -> 6,
     "q_sample_stratified" -> 2,
     "q_sql_grouping_sets" -> 2,
+    "q_stats_corr" -> 2,
     "q_sql_tpch_q1" -> 2,
     "q_sql_tpch_q3" -> 3,
     "q_sql_tpch_q6" -> 1,
@@ -83,6 +86,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     "q_text_quality" -> 1,
+    "q_text_repetition" -> 4,
     "q_text_stats" -> 2,
     "q_text_tfidf" -> 6,
     "q_text_tokens" -> 1,
