@@ -66,6 +66,36 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_status, g_prio,
   o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  private val q5Spark = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+  private val q18Spark = """
+SELECT c_name, c_custkey, o_orderkey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY c_name, c_custkey, o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20"""
+
   val all: Seq[Q] = Seq(
     // B4 completion beyond rollup/cube: arbitrary GROUPING SETS with
     // GROUPING() flags disambiguating real NULLs from subtotal rows —
@@ -85,6 +115,18 @@ ORDER BY g_status, g_prio,
     // TPC-H Q3 shape — dim->fact->fact join chain with a top-10 by
     // revenue; Catalyst broadcast-joins the filtered customer dim and
     // TakeOrderedAndProject's the limit (no global sort).
-    Q("q_sql_tpch_q3", q3Spark) { (s, d) => Sql.run(s, d, q3Spark) }
+    Q("q_sql_tpch_q3", q3Spark) { (s, d) => Sql.run(s, d, q3Spark) },
+
+    // TPC-H Q5 shape — the 6-table local-supplier-volume join: Catalyst
+    // reorders/broadcasts the region->nation dim chain onto the fact
+    // scan and the c_nationkey = s_nationkey residual rides the supplier
+    // broadcast; only the customer⋈orders⋈lineitem spine shuffles.
+    Q("q_sql_tpch_q5", q5Spark) { (s, d) => Sql.run(s, d, q5Spark) },
+
+    // TPC-H Q18 shape — large-volume customers: an aggregate-HAVING
+    // subquery feeding an IN (planned as a semi-join on the already
+    // aggregated keys), then the 3-table join re-aggregates; the limit
+    // becomes TakeOrderedAndProject, never a global sort.
+    Q("q_sql_tpch_q18", q18Spark) { (s, d) => Sql.run(s, d, q18Spark) }
   )
 }

@@ -74,7 +74,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_sql_grouping_sets" -> 2,
     "q_stats_corr" -> 2,
     "q_sql_tpch_q1" -> 2,
+    "q_sql_tpch_q18" -> 7,
     "q_sql_tpch_q3" -> 3,
+    "q_sql_tpch_q5" -> 7,
     "q_sql_tpch_q6" -> 1,
     "q_stream_dedup" -> 2,
     "q_stream_session" -> 2,
