@@ -306,6 +306,39 @@ ORDER BY event_type, bucket""") { (s, d) =>
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
         .orderBy("event_type", "bucket")
+    },
+
+    // Batch form of StreamRunner.purchaseAfterErrorJoin (stream-stream
+    // interval join, B19): purchases within 10 minutes after a same-user
+    // error. The user_id equality makes this a plain hash/SMJ join with
+    // the time interval as a residual predicate (the binned-range rewrite
+    // is for joins with NO equi-conjunct); timestamps compare as integer
+    // micros in both engines (events.parquet is nanos — sub-microsecond
+    // components would make raw timestamp comparisons diverge).
+    Q("q_stream_join",
+      """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'error'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase')
+SELECT e.event_id AS err_id, p.event_id AS pur_id
+FROM e JOIN p ON p.user_id = e.user_id
+  AND p.t > e.t AND p.t <= e.t + 600000000
+ORDER BY err_id, pur_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("eu"),
+          col("t").as("et"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id").as("pu"),
+          col("t").as("pt"))
+      e.join(p, col("pu") === col("eu") &&
+          col("pt") > col("et") && col("pt") <= col("et") + 600000000L)
+        .select(col("err_id"), col("pur_id"))
+        .orderBy("err_id", "pur_id")
     }
   )
 }

@@ -79,6 +79,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_sql_tpch_q5" -> 7,
     "q_sql_tpch_q6" -> 1,
     "q_stream_dedup" -> 2,
+    "q_stream_join" -> 2,
     "q_stream_session" -> 2,
     "q_stream_sliding" -> 2,
     "q_stream_tumbling" -> 2,

@@ -49,6 +49,18 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("q_stream_join registry query pins the interval-join semantics") {
+    // the oracle-paired batch form (integer-micros comparisons) must agree
+    // with the streaming operator (timestamp comparisons post-normalization)
+    val reg = graft.queries.Registry.all.find(_.name == "q_stream_join").get
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val op = StreamRunner.purchaseAfterErrorJoin(
+        graft.sources.Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reg == op && reg.nonEmpty)
+  }
+
   test("streaming dedup-by-key emits exactly the batch q_stream_dedup key set") {
     // First-arrival payloads are replay-order-dependent, so the contract
     // (and this check) is the KEY SET: one row per (user_id, event_type),
