@@ -166,6 +166,46 @@ FROM s ORDER BY l_returnflag""") { (s, d) =>
         .orderBy("l_returnflag")
     },
 
+    // Equi-depth decile bucketing via NTILE — the feature-binning /
+    // outlier-trim step of feature engineering. The tile assignment is a
+    // per-group window sort; ties broken by event_id so both engines
+    // assign identical tiles. min/max are comparisons (no arithmetic) —
+    // raw doubles stay deterministic.
+    Q("q_ntile",
+      """SELECT event_type, decile, COUNT(*) AS n,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM (SELECT event_type, value, event_id,
+        NTILE(10) OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS decile
+      FROM events)
+GROUP BY event_type, decile ORDER BY event_type, decile""") { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"),
+          ntile(10).over(w).as("decile"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type", "decile")
+    },
+
+    // Ordered string aggregation — LISTAGG/STRING_AGG. collect_set order
+    // is partition-dependent, so determinism comes from sorting the set
+    // BEFORE joining (binary string order agrees between engines on this
+    // ASCII data).
+    Q("q_agg_strings",
+      """SELECT lang,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv
+FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count_distinct(col("source")).as("n_sources"),
+          array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources_csv"))
+        .orderBy("lang")
+    },
+
     // Cohort retention: first-seen day per user x day offset x distinct
     // users. Day indices are exact integer epoch-day divisions (never raw
     // timestamps — memory: determinism). The first-seen aggregate and the

@@ -22,6 +22,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "point_enrich" -> 1,
     "project_nest" -> 1,
     "q_agg_approx_distinct" -> 2,
+    "q_agg_strings" -> 3,
     "q_agg_distinct" -> 3,
     "q_agg_hash" -> 2,
     "q_array_funcs" -> 1,
@@ -61,6 +62,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_decode" -> 1,
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
+    "q_ntile" -> 2,
     "q_pack_sequences" -> 2,
     "q_percentile" -> 2,
     "q_percentile_approx" -> 2,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Semantic invariants of the round-3 stat/packing queries that the
+  * row-hash oracle can't express directly.
+  */
+class StatSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.build(spark, sfDir)
+
+  test("pack_sequences conserves tokens and packs contiguous bins per source") {
+    val packed = run("q_pack_sequences")
+    // conservation: bin token sums add up to the corpus token total
+    val packedTotal = packed.agg(sum("bin_tokens")).first().getLong(0)
+    val corpusTotal = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
+      .agg(sum("n")).first().getLong(0)
+    assert(packedTotal == corpusTotal)
+    // bins are contiguous 0..maxBin within every source (floor of a
+    // running sum can never skip a 512-token bucket: docs are far shorter)
+    val bad = packed.groupBy("source")
+      .agg(min("bin").as("mn"), max("bin").as("mx"),
+        count(lit(1)).as("n_bins"))
+      .filter(col("mn") =!= 0 || col("n_bins") =!= col("mx") + 1)
+      .count()
+    assert(bad == 0)
+    // fill bound: bin b spans the running sum from its first doc's
+    // pre-sum (< b*512 + prev doc's length) to the next bin's boundary
+    // (>= (b+1)*512), so every NON-final bin holds at least
+    // 512 - (max doc length) + 1 tokens — bins are genuinely packed,
+    // not fragmenting.
+    val maxDoc = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
+      .agg(max("n")).first().getInt(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val underfull = packed
+      .withColumn("mx", max("bin").over(w))
+      .filter(col("bin") =!= col("mx") &&
+        col("bin_tokens") < 512 - maxDoc + 1)
+      .count()
+    assert(underfull == 0, s"non-final bins under the fill bound (maxDoc=$maxDoc)")
+  }
+
+  test("ntile deciles are balanced per event type") {
+    val rows = run("q_ntile").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == 10, s"$t has ${rs.length} deciles")
+      val counts = rs.map(_.getAs[Long]("n"))
+      assert(counts.max - counts.min <= 1, s"$t deciles unbalanced: ${counts.toSeq}")
+    }
+  }
+
+  test("stats_corr correlations are sane (-1..1) and means positive") {
+    val rows = run("q_stats_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr_qty_price")
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(r.getAs[Double]("mean_qty") > 0 && r.getAs[Double]("mean_price") > 0)
+    }
+  }
+
+  test("event_retention offsets are non-negative and cohort day-0 exists") {
+    val rows = run("q_event_retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("offset_days") >= 0))
+    val cohorts = rows.map(_.getAs[Long]("cohort")).distinct
+    val zeroOffsets = rows.filter(_.getAs[Long]("offset_days") == 0)
+      .map(_.getAs[Long]("cohort")).distinct
+    // every user's first day IS an offset-0 row for that cohort
+    assert(cohorts.sorted.sameElements(zeroOffsets.sorted))
+  }
+}
