@@ -170,7 +170,11 @@ FROM s ORDER BY l_returnflag""") { (s, d) =>
     // outlier-trim step of feature engineering. The tile assignment is a
     // per-group window sort; ties broken by event_id so both engines
     // assign identical tiles. min/max are comparisons (no arithmetic) —
-    // raw doubles stay deterministic.
+    // raw doubles stay deterministic. SCALE NOTE: exact NTILE serializes
+    // each group through one partition (inherent to its total-order
+    // semantics); at 100 TB with few groups, bin by approx-percentile
+    // boundaries instead (q_percentile_approx is the bounded-memory
+    // sketch path) and keep this exact form for bounded groups.
     Q("q_ntile",
       """SELECT event_type, decile, COUNT(*) AS n,
   MIN(value) AS min_value, MAX(value) AS max_value

@@ -60,28 +60,41 @@ class GeoJsonTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GeoJsonScan(paths)
+    // fetch retry policy rides the per-read options (`.option("fetch.maxAttempts", ...)`)
+    () => new GeoJsonScan(paths,
+      options.getInt("fetch.maxAttempts", 3),
+      options.getLong("fetch.backoffMs", 100L))
 }
 
-class GeoJsonScan(paths: Seq[String]) extends Scan with Batch {
+class GeoJsonScan(paths: Seq[String], maxAttempts: Int, backoffMs: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = GeoJsonSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => GeoJsonPartition(p): InputPartition).toArray
+    paths.map(p => GeoJsonPartition(p, maxAttempts, backoffMs): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) =>
-      new GeoJsonReader(partition.asInstanceOf[GeoJsonPartition].path)
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[GeoJsonPartition]
+      new GeoJsonReader(p.path, p.maxAttempts, p.backoffMs)
+    }
 }
 
-case class GeoJsonPartition(path: String) extends InputPartition
+case class GeoJsonPartition(path: String, maxAttempts: Int = 3,
+    backoffMs: Long = 100L) extends InputPartition
 
 /** Parses one FeatureCollection document into feature rows. Accepts either
   * a bare FeatureCollection or the reference's envelope
   * `{result: {state: <FeatureCollection>}}` (`task.ts:71-88`).
   */
-class GeoJsonReader(path: String) extends PartitionReader[InternalRow] {
+class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L)
+    extends PartitionReader[InternalRow] {
   private val features: Iterator[JsonNode] = {
-    val root = new ObjectMapper().readTree(new java.io.File(path))
+    // the fetch: transient I/O retries in place (Fetch.withRetry), a
+    // malformed document aborts the task — reference fetch().typed()
+    // semantics split across retry and decode layers
+    val root = Fetch.withRetry(maxAttempts, backoffMs) {
+      new ObjectMapper().readTree(new java.io.File(path))
+    }
     val fc =
       if (root.has("result")) root.path("result").path("state") else root
     fc.path("features").elements().asScala

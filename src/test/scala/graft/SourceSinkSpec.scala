@@ -90,4 +90,54 @@ class SourceSinkSpec extends SparkSpec {
     }.sum
     assert(total == n)
   }
+
+  test("fetch retry: transient failures retry with backoff, then succeed") {
+    var calls = 0
+    val got = graft.sources.Fetch.withRetry(maxAttempts = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException(s"transient $calls")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3)
+  }
+
+  test("fetch retry: permanent failures abort immediately, exhausted retries abort with last error") {
+    var calls = 0
+    val perm = intercept[IllegalArgumentException] {
+      graft.sources.Fetch.withRetry(maxAttempts = 3, backoffMs = 1) {
+        calls += 1
+        throw new IllegalArgumentException("malformed") // not transient
+      }
+    }
+    assert(perm.getMessage == "malformed" && calls == 1)
+    calls = 0
+    val exhausted = intercept[java.io.IOException] {
+      graft.sources.Fetch.withRetry(maxAttempts = 3, backoffMs = 1) {
+        calls += 1
+        throw new java.io.IOException(s"still down $calls")
+      }
+    }
+    assert(exhausted.getMessage == "still down 3" && calls == 3)
+  }
+
+  test("fetch retry options plumb through the DSv2 scan") {
+    val path = writeFixture("/tmp/graft-geojson-retry")
+    val n = spark.read.format("graft.sources.GeoJsonSource")
+      .option("fetch.maxAttempts", "5")
+      .option("fetch.backoffMs", "1")
+      .option("path", path)
+      .load()
+      .count()
+    assert(n == 3)
+    // a permanently-missing fetch unit aborts the read (after retries) —
+    // never a silently-empty partition
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.GeoJsonSource")
+        .option("fetch.maxAttempts", "2")
+        .option("fetch.backoffMs", "1")
+        .option("path", "/tmp/graft-geojson-retry/absent.json")
+        .load()
+        .count()
+    }
+  }
 }
