@@ -330,6 +330,32 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
         .agg(wavg(dec2(col("l_extendedprice")), dec2(col("l_quantity")))
           .as("wavg_price"))
         .orderBy("l_returnflag")
+    },
+
+    // B7' — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    // keys match each other instead of vanishing, the semantic SQL `=`
+    // can't express. Keys are derived (NULLIF) since the synthetic data
+    // has no natural NULLs; Spark plans <=> as a proper hash join key
+    // (EqualNullSafe is a valid equi-join key, not a nested loop).
+    Q("q_join_nullsafe",
+      """WITH c AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer),
+s AS (
+  SELECT NULLIF(seg, 'BUILDING') AS seg, cnt FROM (
+    SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer GROUP BY 1))
+SELECT c.c_custkey, COALESCE(c.seg, 'NULL_SEG') AS seg_out, s.cnt
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+ORDER BY c_custkey""") { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val c = cust.select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val dim = cust.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(nullif(col("seg"), lit("BUILDING")).as("seg2"), col("cnt"))
+      c.join(dim, col("seg") <=> col("seg2"))
+        .select(col("c_custkey"),
+          coalesce(col("seg"), lit("NULL_SEG")).as("seg_out"), col("cnt"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -96,6 +96,14 @@ GROUP BY c_name, c_custkey, o_orderkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT 20"""
 
+  private val existsSpark = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey"""
+
   val all: Seq[Q] = Seq(
     // B4 completion beyond rollup/cube: arbitrary GROUPING SETS with
     // GROUPING() flags disambiguating real NULLs from subtotal rows —
@@ -127,6 +135,12 @@ LIMIT 20"""
     // subquery feeding an IN (planned as a semi-join on the already
     // aggregated keys), then the 3-table join re-aggregates; the limit
     // becomes TakeOrderedAndProject, never a global sort.
-    Q("q_sql_tpch_q18", q18Spark) { (s, d) => Sql.run(s, d, q18Spark) }
+    Q("q_sql_tpch_q18", q18Spark) { (s, d) => Sql.run(s, d, q18Spark) },
+
+    // Correlated NOT EXISTS — Catalyst decorrelates the subquery into a
+    // left-anti join on the correlation key (never a per-row subquery
+    // execution); the o_totalprice predicate pushes into the subquery's
+    // scan before the anti-join.
+    Q("q_sql_exists", existsSpark) { (s, d) => Sql.run(s, d, existsSpark) }
   )
 }

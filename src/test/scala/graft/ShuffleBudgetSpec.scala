@@ -46,6 +46,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_join_anti" -> 2,
     "q_join_asof" -> 3,
     "q_join_broadcast" -> 3,
+    "q_join_nullsafe" -> 3,
     "q_join_outer" -> 3,
     "q_join_range" -> 3,
     "q_join_range_auto" -> 3,
@@ -73,6 +74,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_sample_hash" -> 1,
     "q_sample_mixture" -> 6,
     "q_sample_stratified" -> 2,
+    "q_sql_exists" -> 2,
     "q_sql_grouping_sets" -> 2,
     "q_stats_corr" -> 2,
     "q_sql_tpch_q1" -> 2,
