@@ -92,6 +92,18 @@ object StreamRunner {
     events.dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** The unbounded-stream dedup path the [[dedupByKey]] scaladoc names:
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its dedup horizon, so state is O(keys active within
+    * the horizon) instead of O(all keys ever) — the right tool for
+    * at-least-once replay where duplicates arrive close together.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      horizonMinutes: Int = 30): DataFrame =
+    events.withWatermark("ts", s"$horizonMinutes minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Custom arbitrary-state operator (B19 escape hatch): per-user event
     * counting via mapGroupsWithState — the shape for state machines that
     * windowed aggregation can't express (session carts, fraud traces,

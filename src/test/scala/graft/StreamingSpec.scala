@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpec {
     assert(reg == op && reg.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark emits the same key set with bounded state") {
+    // bounded replay arrives as one batch, so every duplicate lands inside
+    // the horizon and the emitted key set equals the global distinct set;
+    // on an unbounded stream the same operator holds only horizon-recent
+    // keys in state (the production at-least-once repair path)
+    val stream = StreamRunner.runToMemoryAppend(spark,
+      StreamRunner.dedupWithinWatermark(StreamRunner.eventsStream(spark, sfDir)),
+      "spec_dedup_wm")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stream == expected && stream.nonEmpty)
+  }
+
   test("streaming dedup-by-key emits exactly the batch q_stream_dedup key set") {
     // First-arrival payloads are replay-order-dependent, so the contract
     // (and this check) is the KEY SET: one row per (user_id, event_type),
