@@ -356,6 +356,34 @@ ORDER BY c_custkey""") { (s, d) =>
         .select(col("c_custkey"),
           coalesce(col("seg"), lit("NULL_SEG")).as("seg_out"), col("cnt"))
         .orderBy("c_custkey")
+    },
+
+    // B10×B24 — the typed UDAF used as a WINDOW function: per customer, a
+    // rolling 3-order weighted average of order value (weighted by the
+    // order's day-of-month). Same Aggregator instance as the grouped
+    // form. The frame order (o_orderdate, o_orderkey) is a TOTAL order —
+    // (l_orderkey, l_linenumber) on lineitem is NOT unique in this data
+    // and a nondeterministic frame silently shuffles the rolling values.
+    // Partitions are per-customer: many small groups, parallel at scale.
+    Q("q_window_udaf",
+      """SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+           CAST(EXTRACT(DAY FROM o_orderdate) AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+  CAST(SUM(CAST(EXTRACT(DAY FROM o_orderdate) AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    AS rolling_wavg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      val wavg = udaf(WeightedAvg)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          wavg(dec2(col("o_totalprice")), dec2(dayofmonth(col("o_orderdate"))))
+            .over(w).as("rolling_wavg"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }

@@ -108,6 +108,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_validate" -> 1,
     "q_vector_norm" -> 1,
     "q_window_frame" -> 2,
+    "q_window_udaf" -> 2,
     "q_window_rank" -> 2,
     "q_zorder_key" -> 1,
     "scan_source" -> 1,
