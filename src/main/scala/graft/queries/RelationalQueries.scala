@@ -253,6 +253,33 @@ ORDER BY c_custkey""") { (s, d) =>
         .orderBy("c_custkey")
     },
 
+    // B12' — multiset set ops: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicities (the distinct forms above would collapse them), so
+    // the inputs are lineitem supplier bags where duplicates are real.
+    Q("q_except_all",
+      """SELECT l_suppkey FROM (
+  SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_quantity > 40)
+ORDER BY l_suppkey""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_quantity") < 10).select(col("l_suppkey"))
+        .exceptAll(li.filter(col("l_quantity") > 40).select(col("l_suppkey")))
+        .orderBy("l_suppkey")
+    },
+
+    Q("q_intersect_all",
+      """SELECT l_suppkey FROM (
+  SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_quantity > 40)
+ORDER BY l_suppkey""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_quantity") < 10).select(col("l_suppkey"))
+        .intersectAll(li.filter(col("l_quantity") > 40).select(col("l_suppkey")))
+        .orderBy("l_suppkey")
+    },
+
     // B13 — string function family (all codegen'd built-ins).
     Q("q_string_funcs",
       """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 4) AS pfx,

@@ -543,6 +543,31 @@ ORDER BY d.doc_id""") { (s, d) =>
           threshold = 0.5)
         .select(col("id").as("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // B16' — the higher-order-function family surfaced as a query:
+    // transform/filter/aggregate/exists/forall over the token array.
+    // All outputs are exact-integer or boolean scalars (HOF folds over
+    // ints are order-fixed left-to-right in both engines). NOTE HOF
+    // lambdas run interpreted (no codegen) — fine per-doc over bounded
+    // arrays, but corpus-scale hot paths reshape to explode+aggregate
+    // (see Dedup/TextQueries shapes and the perf-findings memory).
+    Q("q_hof_funcs",
+      """SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 3)) AS INT) AS n_long,
+  CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT) AS total_chars,
+  len(list_filter(string_split(text, ' '), w -> len(w) > 8)) > 0 AS has_long_word,
+  len(list_filter(string_split(text, ' '), w -> len(w) = 0)) = 0 AS all_nonempty
+FROM documents ORDER BY doc_id""") { (s, d) =>
+      val l = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(l, w => length(w) > 3)).as("n_long"),
+          aggregate(transform(l, w => length(w)), lit(0), (a, b) => a + b)
+            .cast("long").as("total_chars"),
+          exists(l, w => length(w) > 8).as("has_long_word"),
+          forall(l, w => length(w) > 0).as("all_nonempty"))
+        .orderBy("doc_id")
     }
   )
 }

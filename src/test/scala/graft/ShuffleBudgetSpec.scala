@@ -41,8 +41,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_event_histogram" -> 2,
     "q_event_resample" -> 3,
     "q_except" -> 3,
+    "q_except_all" -> 2,
     "q_filter_project" -> 1,
+    "q_hof_funcs" -> 1,
     "q_intersect" -> 3,
+    "q_intersect_all" -> 2,
     "q_join_anti" -> 2,
     "q_join_asof" -> 3,
     "q_join_broadcast" -> 3,
