@@ -99,4 +99,23 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\)""".r.findFirstIn(
       df.queryExecution.executedPlan.toString).isDefined)
   }
+
+  test("correlated NOT EXISTS decorrelates to a left-anti join") {
+    val p = plan("q_sql_exists")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
+    // the totalprice predicate pushes into the subquery's scan
+    assert(p.contains("GreaterThan(o_totalprice"))
+  }
+
+  test("null-safe join key plans as a hash join, not a nested loop") {
+    val p = plan("q_join_nullsafe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("stream-join batch form keeps the interval as a residual on an equi-join") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
