@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 write-path sink for FeatureCollection delivery (SURVEY.md §2 A14,
+  * the connector-API twin of [[FeatureSink]]'s foreachPartition shape).
+  * What the connector protocol adds over foreachPartition is exactly what a
+  * production submit needs and ad-hoc delivery lacks:
+  *
+  *  - task attempts write to ATTEMPT-UNIQUE temp names, so speculative /
+  *    retried tasks can never interleave partial documents;
+  *  - the driver renames temps to final names only in `commit()` after
+  *    every task succeeded — a failed job leaves no delivered documents;
+  *  - `abort()` removes whatever temps exist.
+  *
+  * One FeatureCollection document per non-empty partition, same layout as
+  * [[FeatureSink]]; an HTTP transport swaps the rename step for a POST
+  * (deliver-on-commit), nothing else.
+  *
+  * Input contract: ONE string column holding each row's Feature JSON —
+  * produced by [[FeatureCollectionSink.write]], which wraps the caller's
+  * DataFrame with the same `to_json(struct(*))` projection FeatureSink
+  * uses. (Serializing arbitrary rows inside the writer would need the
+  * private catalyst JacksonGenerator; the projection keeps serialization
+  * in codegen'd Catalyst land where it belongs.)
+  */
+class FeatureCollectionSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeatureCollectionSink.inputSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FcSinkTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("FeatureCollectionSink requires .option(\"path\", dir)")),
+      Option(properties.get("prefix")).getOrElse("featurecollection"))
+}
+
+object FeatureCollectionSink {
+  val inputSchema: StructType =
+    StructType(Seq(StructField("feature", StringType)))
+
+  /** Deliver `df` through the DSv2 sink: serialize each row to Feature
+    * JSON and write one FeatureCollection per partition into `outDir`
+    * under the connector's commit protocol.
+    */
+  def write(df: DataFrame, outDir: String,
+      prefix: String = "featurecollection"): Unit =
+    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("feature"))
+      .write.format("graft.sources.FeatureCollectionSink")
+      .option("path", outDir).option("prefix", prefix)
+      .mode("append").save()
+}
+
+class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite {
+  override def name(): String = s"featurecollection-sink($dir)"
+  override def schema(): StructType = FeatureCollectionSink.inputSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().length == 1 &&
+      info.schema().head.dataType == StringType,
+      s"FeatureCollectionSink expects one string column (the feature JSON); " +
+        s"got ${info.schema().simpleString} — use FeatureCollectionSink.write")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new FcBatchWrite(dir, prefix)
+      }
+    }
+  }
+}
+
+/** Commit message: (tempPath, finalName) of one task's document. */
+case class FcCommit(tempPath: String, finalName: String)
+  extends WriterCommitMessage
+
+class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FcWriterFactory(dir, prefix)
+
+  // deliver-on-commit: only after EVERY task reported success do the
+  // temp documents take their final names (an HTTP transport would POST
+  // here instead)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FcCommit(null, _) => () // empty partition: nothing written
+      case FcCommit(tmp, fin) =>
+        Files.move(Paths.get(tmp), Paths.get(dir, fin),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FcCommit(tmp, _) if tmp != null =>
+        Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+class FcWriterFactory(dir: String, prefix: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FcWriter(dir, prefix, partitionId, taskId)
+}
+
+/** Accumulates the partition's features and writes ONE temp document at
+  * task commit; the attempt-unique temp name makes concurrent speculative
+  * attempts harmless.
+  */
+class FcWriter(dir: String, prefix: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val sb = new StringBuilder
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (n > 0) sb.append(',')
+    sb.append(row.getUTF8String(0).toString)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (n == 0) FcCommit(null, null)
+    else {
+      Files.createDirectories(Paths.get(dir))
+      val tmp = Paths.get(dir, f".$prefix-$partitionId%05d-attempt$taskId.tmp")
+      Files.write(tmp,
+        (s"""{"type":"FeatureCollection","features":[""" + sb.result() + "]}")
+          .getBytes(StandardCharsets.UTF_8))
+      FcCommit(tmp.toString, f"$prefix-$partitionId%05d.json")
+    }
+
+  override def abort(): Unit = () // nothing durable exists before commit()
+  override def close(): Unit = ()
+}
