@@ -67,7 +67,7 @@ class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite 
   override def name(): String = s"featurecollection-sink($dir)"
   override def schema(): StructType = FeatureCollectionSink.inputSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().length == 1 &&
       info.schema().head.dataType == StringType,
@@ -76,9 +76,31 @@ class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite 
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new FcBatchWrite(dir, prefix)
+        // streaming epochs scope the document names by micro-batch id, so
+        // successive epochs never collide and a replayed epoch (failure
+        // recovery) overwrites its own documents idempotently
+        override def toStreaming: streaming.StreamingWrite =
+          new FcStreamingWrite(dir, prefix)
       }
     }
   }
+}
+
+/** Streaming flavor: per-epoch commit with epoch-scoped final names —
+  * exactly-once delivery per micro-batch under replay (an epoch that
+  * re-runs renames onto the same names).
+  */
+class FcStreamingWrite(dir: String, prefix: String)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new FcStreamingWriterFactory(dir, prefix)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    new FcBatchWrite(dir, prefix).commit(messages)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    new FcBatchWrite(dir, prefix).abort(messages)
 }
 
 /** Commit message: (tempPath, finalName) of one task's document. */
@@ -112,6 +134,13 @@ class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
 class FcWriterFactory(dir: String, prefix: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FcWriter(dir, prefix, partitionId, taskId)
+}
+
+class FcStreamingWriterFactory(dir: String, prefix: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FcWriter(dir, s"$prefix-epoch$epochId", partitionId, taskId)
 }
 
 /** Accumulates the partition's features and writes ONE temp document at

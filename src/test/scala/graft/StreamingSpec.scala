@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("DSv2 sink streaming write: epoch-scoped documents, counts conserved") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val out = "/tmp/graft-dsv2-stream-sink"
+    val ckpt = "/tmp/graft-dsv2-stream-ckpt"
+    for (d <- Seq(out, ckpt)) {
+      val f = new java.io.File(d)
+      if (f.exists()) { def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) }
+    }
+    val q = StreamRunner.eventsStream(spark, sfDir)
+      .select(to_json(struct(col("event_id"), col("user_id"))).as("feature"))
+      .writeStream
+      .format("graft.sources.FeatureCollectionSink")
+      .option("path", out).option("prefix", "ev")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = new java.io.File(out).listFiles()
+    assert(files.nonEmpty && files.forall(f =>
+      f.getName.startsWith("ev-epoch") && f.getName.endsWith(".json")),
+      files.map(_.getName).mkString(","))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val total = files.map(f => mapper.readTree(f).path("features").size()).sum
+    val expected = graft.sources.Tables.events(spark, sfDir).count()
+    assert(total == expected)
+  }
+
   test("q_stream_join registry query pins the interval-join semantics") {
     // the oracle-paired batch form (integer-micros comparisons) must agree
     // with the streaming operator (timestamp comparisons post-normalization)
