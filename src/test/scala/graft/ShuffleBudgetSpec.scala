@@ -68,7 +68,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_join" -> 2,
     "q_ntile" -> 2,
     "q_pack_sequences" -> 2,
-    "q_percentile" -> 2,
+    "q_percentile" -> 4, // sketch-bracket pass + exact-refine pass (both two-phase aggs); deliberate trade vs the 3-task buffered sort
     "q_percentile_approx" -> 2,
     "q_pipeline_decontaminate" -> 5,
     "q_pipeline_training_prep" -> 3,
