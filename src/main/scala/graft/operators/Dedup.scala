@@ -70,13 +70,19 @@ object Dedup {
       lb)
   }
 
-  /** Wrap the bucket-size column so every evaluated bucket bumps the drop
-    * counters. A scalar UDF off the codegen path — but it runs once per
-    * BUCKET (post-aggregation; there are |buckets| rows, not |corpus|), so
-    * the hot path is untouched. Marked nondeterministic so the optimizer
-    * never elides, duplicates, or reorders the side effect.
+  /** Filter `buckets` to sizes in [2, maxBucket], bumping the drop
+    * counters once per evaluated bucket. The counting UDF is materialized
+    * in its own projection and the filter references the ATTRIBUTE —
+    * `countingUdf(...).between(lo, hi)` would expand the UDF into both
+    * conjuncts and (being nondeterministic, hence excluded from
+    * subexpression elimination) execute the side effect twice per bucket,
+    * doubling every reported count. Nondeterminism also stops the
+    * optimizer collapsing the projection into the filter. A scalar UDF
+    * off the codegen path — but it runs once per BUCKET (post-aggregation;
+    * |buckets| rows, not |corpus|), so the hot path is untouched.
     */
-  private def countingSize(st: DropStats, maxBucket: Int): Column = {
+  private def filterCounting(buckets: DataFrame, st: DropStats,
+      maxBucket: Int): DataFrame = {
     // close over the accumulators directly — they serialize into tasks
     val (db, dm, lb) = (st.droppedBuckets, st.droppedMembers, st.largestBucket)
     val mb = maxBucket
@@ -85,7 +91,9 @@ object Dedup {
       lb.add(n.toLong)
       n
     }).asNondeterministic()
-    f(size(col("members")))
+    buckets.withColumn("_sz", f(size(col("members"))))
+      .filter(col("_sz").between(2, maxBucket))
+      .drop("_sz")
   }
 
   /** Lowercased, whitespace-split, empty-dropped words of a text column. */
@@ -183,11 +191,12 @@ object Dedup {
       stats: Option[DropStats] = None): DataFrame = {
     val st = stats.getOrElse(dropStats(docs.sparkSession, "minhash"))
     val m = col("members")
-    val buckets = minhashSignatures(docs, numPerm)
-      .select(col("id"), col("mh"), explode(bandKeys(col("mh"), bandRows)).as("bk"))
-      .groupBy(col("bk"))
-      .agg(collect_list(struct(col("id"), col("mh"))).as("members"))
-      .filter(countingSize(st, maxBucket).between(2, maxBucket))
+    val buckets = filterCounting(
+      minhashSignatures(docs, numPerm)
+        .select(col("id"), col("mh"), explode(bandKeys(col("mh"), bandRows)).as("bk"))
+        .groupBy(col("bk"))
+        .agg(collect_list(struct(col("id"), col("mh"))).as("members")),
+      st, maxBucket)
     def estJaccard(a: Column, b: Column): Column =
       aggregate(
         zip_with(a.getField("mh"), b.getField("mh"),
@@ -364,14 +373,15 @@ object Dedup {
       maxBucket: Int = 256, stats: Option[DropStats] = None): DataFrame = {
     val st = stats.getOrElse(dropStats(docs.sparkSession, "simhash"))
     val m = col("members")
-    val buckets = simhashSignatures(docs)
-      .select(col("id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(3)),
-          c => struct(c.as("ci"),
-            shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))).as("chunk"))
-      .groupBy(col("chunk"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(countingSize(st, maxBucket).between(2, maxBucket))
+    val buckets = filterCounting(
+      simhashSignatures(docs)
+        .select(col("id"), col("sh"),
+          explode(transform(sequence(lit(0), lit(3)),
+            c => struct(c.as("ci"),
+              shr(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv")))).as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(collect_list(struct(col("id"), col("sh"))).as("members")),
+      st, maxBucket)
     buckets.select(explode(flatten(
         transform(m, (a, i) =>
           transform(slice(m, i + 2, size(m)), b =>

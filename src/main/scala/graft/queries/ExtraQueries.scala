@@ -110,11 +110,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
           sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("ra95"),
           sort_array(collect_list(
             when(col("v").between(col("a95"), col("b95")), col("v")))).as("w95"))
+      // slice lookup with a HONEST miss contract: a non-positive index
+      // (low-side bracket miss) must be NULL — try_element_at throws on 0
+      // and reads NEGATIVE indices from the array END (silently wrong);
+      // an index past the slice is NULL via try_element_at. hi falls back
+      // to lo ONLY at the true last position (k = n-1, where frac = 0 and
+      // hi is unused) — a high-side bracket miss elsewhere stays NULL
+      // instead of silently degrading the interpolation to lo.
+      def sliceAt(arr: Column, idx: Column): Column =
+        when(idx >= 1, try_element_at(arr, idx.cast("int")))
       def interp(p: Double, rankA: Column, arr: Column): Column = {
         val r = (col("n") - 1) * lit(p)
         val k = floor(r)
-        val lo = try_element_at(arr, (k - rankA + 1).cast("int"))
-        val hi = coalesce(try_element_at(arr, (k - rankA + 2).cast("int")), lo)
+        val lo = sliceAt(arr, k - rankA + 1)
+        val hi = when(k === col("n") - 1, lo)
+          .otherwise(sliceAt(arr, k - rankA + 2))
         lo * (k + 1 - r) + hi * (r - k)
       }
       agg.select(col("l_returnflag"),

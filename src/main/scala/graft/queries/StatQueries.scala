@@ -24,7 +24,9 @@ import graft.sources.Tables
   */
 object StatQueries {
 
-  private val PackBudget = 512 // tokens per packed training sequence
+  // tokens per packed training sequence (visible to StatSpec's fill-bound
+  // assertion so the invariant stays coupled to the query)
+  private[graft] val PackBudget = 512
 
   val all: Seq[Q] = Seq(
 

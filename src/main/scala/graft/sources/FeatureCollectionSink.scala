@@ -113,15 +113,26 @@ class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
 
   // deliver-on-commit: only after EVERY task reported success do the
   // temp documents take their final names (an HTTP transport would POST
-  // here instead)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
+  // here instead). A rename failure midway un-delivers the documents
+  // renamed so far before rethrowing — otherwise a failed job would
+  // leave a PARTIAL document set at final names, the exact outcome the
+  // protocol exists to prevent (abort() only knows the temp paths).
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try messages.foreach {
       case FcCommit(null, _) => () // empty partition: nothing written
       case FcCommit(tmp, fin) =>
-        Files.move(Paths.get(tmp), Paths.get(dir, fin),
+        val target = Paths.get(dir, fin)
+        Files.move(Paths.get(tmp), target,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        delivered += target
       case other => throw new IllegalStateException(s"unexpected $other")
+    } catch {
+      case e: Throwable =>
+        delivered.foreach(Files.deleteIfExists)
+        throw e
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -143,32 +154,41 @@ class FcStreamingWriterFactory(dir: String, prefix: String)
     new FcWriter(dir, s"$prefix-epoch$epochId", partitionId, taskId)
 }
 
-/** Accumulates the partition's features and writes ONE temp document at
-  * task commit; the attempt-unique temp name makes concurrent speculative
-  * attempts harmless.
+/** STREAMS the partition's features straight into the attempt-unique temp
+  * file (a buffered accumulate-then-write holds the whole document — the
+  * partition's bytes, times the builder/String/byte[] copies — on heap,
+  * an OOM at exactly the partition sizes this sink is for); the
+  * attempt-unique temp name makes concurrent speculative attempts
+  * harmless, and abort() deletes the partial temp.
   */
 class FcWriter(dir: String, prefix: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val sb = new StringBuilder
+  private val tmp =
+    Paths.get(dir, f".$prefix-$partitionId%05d-attempt$taskId.tmp")
+  private var out: java.io.Writer = _
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
-    if (n > 0) sb.append(',')
-    sb.append(row.getUTF8String(0).toString)
+    if (out == null) {
+      Files.createDirectories(Paths.get(dir))
+      out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      out.write("""{"type":"FeatureCollection","features":[""")
+    } else out.write(",")
+    out.write(row.getUTF8String(0).toString)
     n += 1
   }
 
   override def commit(): WriterCommitMessage =
     if (n == 0) FcCommit(null, null)
     else {
-      Files.createDirectories(Paths.get(dir))
-      val tmp = Paths.get(dir, f".$prefix-$partitionId%05d-attempt$taskId.tmp")
-      Files.write(tmp,
-        (s"""{"type":"FeatureCollection","features":[""" + sb.result() + "]}")
-          .getBytes(StandardCharsets.UTF_8))
+      out.write("]}")
+      out.close()
+      out = null
       FcCommit(tmp.toString, f"$prefix-$partitionId%05d.json")
     }
 
-  override def abort(): Unit = () // nothing durable exists before commit()
-  override def close(): Unit = ()
+  override def abort(): Unit = close()
+  override def close(): Unit = {
+    if (out != null) { out.close(); out = null; Files.deleteIfExists(tmp) }
+  }
 }

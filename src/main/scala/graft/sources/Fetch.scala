@@ -18,8 +18,12 @@ package graft.sources
   */
 object Fetch {
 
-  /** True for failure classes worth retrying in place. */
+  /** True for failure classes worth retrying in place. Jackson's parse
+    * errors extend IOException but mean a MALFORMED document — retrying
+    * re-parses the same bad bytes, so they are explicitly permanent.
+    */
   def isTransient(t: Throwable): Boolean = t match {
+    case _: com.fasterxml.jackson.core.JsonProcessingException => false
     case _: java.io.FileNotFoundException => true // not-yet-visible fetch unit
     case _: java.io.IOException           => true
     case _                                => false

@@ -158,8 +158,14 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs == Set((21L, 22L)),
         s"$name: trio pairs dropped, pair kept — got $pairs")
-      assert(st.droppedBuckets.value >= 1, name)
-      assert(st.droppedMembers.value >= 3, name)
+      // EXACT counts (no task retries in local tests): the trio collides
+      // in every band/chunk — simhash has 4 chunks, minhash 16 bands —
+      // and each dropped bucket holds exactly the 3 trio members. An
+      // accidentally-duplicated counting expression (e.g. expanded into
+      // both conjuncts of a between()) doubles these and fails here.
+      val expectBuckets = if (name == "simhash") 4L else 16L
+      assert(st.droppedBuckets.value == expectBuckets, name)
+      assert(st.droppedMembers.value == expectBuckets * 3, name)
       assert(st.largestBucket.value == 3L, name)
     }
   }

@@ -141,6 +141,18 @@ class SourceSinkSpec extends SparkSpec {
       }
     }
     assert(perm.getMessage == "malformed" && calls == 1)
+    // Jackson parse errors extend IOException but mean a malformed
+    // document — they must classify as PERMANENT (no pointless re-parse)
+    assert(!graft.sources.Fetch.isTransient(
+      new com.fasterxml.jackson.core.JsonParseException(null, "bad doc")))
+    calls = 0
+    val malformed = intercept[com.fasterxml.jackson.core.JsonParseException] {
+      graft.sources.Fetch.withRetry(maxAttempts = 5, backoffMs = 1) {
+        calls += 1
+        throw new com.fasterxml.jackson.core.JsonParseException(null, "bad doc")
+      }
+    }
+    assert(malformed.getMessage.contains("bad doc") && calls == 1)
     calls = 0
     val exhausted = intercept[java.io.IOException] {
       graft.sources.Fetch.withRetry(maxAttempts = 3, backoffMs = 1) {

@@ -28,10 +28,11 @@ class StatSpec extends SparkSpec {
       .count()
     assert(bad == 0)
     // fill bound: bin b spans the running sum from its first doc's
-    // pre-sum (< b*512 + prev doc's length) to the next bin's boundary
-    // (>= (b+1)*512), so every NON-final bin holds at least
-    // 512 - (max doc length) + 1 tokens — bins are genuinely packed,
+    // pre-sum (< b*budget + prev doc's length) to the next bin's boundary
+    // (>= (b+1)*budget), so every NON-final bin holds at least
+    // budget - (max doc length) + 1 tokens — bins are genuinely packed,
     // not fragmenting.
+    val budget = graft.queries.StatQueries.PackBudget
     val maxDoc = graft.sources.Tables.documents(spark, sfDir)
       .select(size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
       .agg(max("n")).first().getInt(0)
@@ -39,7 +40,7 @@ class StatSpec extends SparkSpec {
     val underfull = packed
       .withColumn("mx", max("bin").over(w))
       .filter(col("bin") =!= col("mx") &&
-        col("bin_tokens") < 512 - maxDoc + 1)
+        col("bin_tokens") < budget - maxDoc + 1)
       .count()
     assert(underfull == 0, s"non-final bins under the fill bound (maxDoc=$maxDoc)")
   }
