@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Skew
 import graft.sources.Tables
 
 /** Round-3 additions: training-pipeline packing/quality statistics and
@@ -210,6 +211,23 @@ FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
           array_join(array_sort(collect_set(col("source"))), ",")
             .as("sources_csv"))
         .orderBy("lang")
+    },
+
+    // Salted aggregation on the declared surface: 600k rows funnel into
+    // 3 group keys — the skewed-reducer shape AQE can't split (it only
+    // splits JOIN partitions). Skew.saltedSum spreads each hot key over
+    // 16 (key, salt) reducers then merges partials; DECIMAL sums are
+    // associative over salts, so the result is salt-invariant and the
+    // oracle is the PLAIN GROUP BY.
+    Q("q_skew_agg",
+      """SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Skew.saltedSum(Tables.lineitem(s, d), col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)"), salts = 16)
+        .select(col("k").as("l_returnflag"),
+          col("total").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     },
 
     // Cohort retention: first-seen day per user x day offset x distinct

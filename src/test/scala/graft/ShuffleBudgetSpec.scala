@@ -77,6 +77,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_sample_hash" -> 1,
     "q_sample_mixture" -> 6,
     "q_sample_stratified" -> 2,
+    "q_skew_agg" -> 3,
     "q_sql_exists" -> 2,
     "q_sql_grouping_sets" -> 2,
     "q_stats_corr" -> 2,
