@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding",
       "q_text_tfidf",     // broadcasts the single-row corpus count N
       "q_sample_mixture", // broadcasts the single-row global min count
-      "q_event_funnel")   // crossJoins three single-row stage counts
+      "q_event_funnel",   // crossJoins three single-row stage counts
+      "q_text_vocab")     // broadcasts the single-row total token count
 
   test("no registered query plans a CartesianProduct") {
     Registry.all.foreach { q =>

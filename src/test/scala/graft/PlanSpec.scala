@@ -100,6 +100,27 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString).isDefined)
   }
 
+  test("q_text_vocab takes its top-50 with per-partition heaps and never runs a partition-less window") {
+    val qe = Registry.all.find(_.name == "q_text_vocab").get
+      .build(spark, sfDir).queryExecution
+    // the vocab cutoff must be TakeOrderedAndProject (no global sort of
+    // the 10^8-token vocabulary), and every WindowExec must carry a
+    // partition spec — Spark's "No Partition Defined ... single
+    // partition" path is banned from the declared surface
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
+      qe.executedPlan.toString.linesIterator.take(8).mkString("\n"))
+    // check the OPTIMIZED LOGICAL plan: that is where foldable partition
+    // keys get stripped (a lit(0) key silently degrades to the
+    // partition-less form), and the physical tree hides inside the AQE
+    // wrapper where collect() does not descend
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val partitionless = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(partitionless.isEmpty,
+      s"partition-less Window in optimized plan:\n${partitionless.mkString("\n")}")
+  }
+
   test("correlated NOT EXISTS decorrelates to a left-anti join") {
     val p = plan("q_sql_exists")
     assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))

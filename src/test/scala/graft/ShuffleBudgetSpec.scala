@@ -102,7 +102,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_text_tfidf" -> 6,
     "q_text_tokens" -> 1,
     "q_text_tokens_bpe" -> 1,
-    "q_text_vocab" -> 2,
+    "q_text_vocab" -> 3, // word-count shuffle + scalar-total single partition + its broadcast; top-50 is TakeOrderedAndProject (no sort exchange), window runs on the already-single-partition 50-row join output
     "q_topk" -> 0,
     "q_udaf_weighted_avg" -> 2,
     "q_udf_geo_truncate" -> 1,
