@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 105 queries, 95 oracle-paired, 10 rows-only") {
+  test("declared surface: 106 queries, 96 oracle-paired, 10 rows-only") {
     val all = Registry.all
-    assert(all.size == 105, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 95,
+    assert(all.size == 106, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 96,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal

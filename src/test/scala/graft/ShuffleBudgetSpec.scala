@@ -67,6 +67,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
     "q_ntile" -> 2,
+    "q_ntile_approx" -> 6, // bracket-sketch agg + rank/slice agg + their two broadcasts + final bin agg + output sort; no per-group window anywhere
+
     "q_pack_sequences" -> 2,
     "q_percentile" -> 4, // sketch-bracket pass + exact-refine pass (both two-phase aggs); deliberate trade vs the 3-task buffered sort
     "q_percentile_approx" -> 2,

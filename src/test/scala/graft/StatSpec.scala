@@ -55,6 +55,42 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("ntile_approx bins partition each group and stay within boundary-tie slack of n/10") {
+    val rows = run("q_ntile_approx").collect()
+    assert(rows.nonEmpty)
+    // no NULL decile: a bracket miss in the boundary pass propagates NULL
+    // by design — its absence IS the bracket-correctness invariant
+    assert(rows.forall(!_.isNullAt(1)), "NULL decile: boundary bracket missed")
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val n = events(t)
+      // bins partition the group exactly (every row binned exactly once)
+      assert(rs.map(_.getAs[Long]("n")).sum == n, s"$t: bins don't partition")
+      val deciles = rs.map(_.getAs[Int]("decile"))
+      assert(deciles.forall(d => d >= 1 && d <= 10), s"$t: decile out of range")
+      // equi-depth up to discrete-boundary slack: bin sizes are n/10 ± ties
+      // at boundaries; the continuous value column keeps ties rare, so the
+      // named bound is ±max(2, 1% of n) per bin
+      val slack = math.max(2L, n / 100)
+      val target = n / 10.0
+      rs.foreach { r =>
+        val c = r.getAs[Long]("n")
+        assert(math.abs(c - target) <= slack + 1,
+          s"$t decile ${r.getAs[Int]("decile")}: $c vs n/10=$target")
+      }
+      // min/max of adjacent bins are ordered (boundaries monotone)
+      val sorted = rs.sortBy(_.getAs[Int]("decile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_value") <= b.getAs[Double]("min_value"),
+            s"$t: overlapping bins")
+        case _ => ()
+      }
+    }
+  }
+
   test("stats_corr correlations are sane (-1..1) and means positive") {
     val rows = run("q_stats_corr").collect()
     assert(rows.nonEmpty)
