@@ -75,6 +75,10 @@ object Bench {
     // can't reach); the minimum of repeated runs of deterministic work is
     // the standard low-noise estimator. SPARK_GRAFT_RUNS=1 for profiling.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // Threshold for the adaptive extra run (ADVICE r3: was hard-coded, and
+    // the retries were invisible in the published JSON — both auditable now)
+    val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
+    val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -102,7 +106,8 @@ object Bench {
       // one extra measurement in the hope of a quieter window. min() of
       // more runs of deterministic work is still an honest estimator.
       val retried =
-        if (ok.nonEmpty && ok.min > 4.0 && runs > 1) {
+        if (ok.nonEmpty && ok.min > retrySec && runs > 1) {
+          retriedNames += name
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -118,9 +123,10 @@ object Bench {
     // was truncated mid-line and failed to parse) — goes to a file.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // The ONE stdout JSON line must fit the tail window WITH sbt's trailing
@@ -129,7 +135,9 @@ object Bench {
     // broken queries (-1) always included — until the budget runs out.
     val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
     val budget = 1700
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{"""
+    // stdout carries the retry COUNT (full names are in bench_full.json) so
+    // the published total's measurement protocol is auditable per run
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]

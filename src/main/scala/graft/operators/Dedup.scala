@@ -52,6 +52,15 @@ object Dedup {
     * vanishing entirely under AQE re-optimization). Values are
     * best-effort upper bounds under task retries/speculation — the same
     * caveat as Spark's own SQL metrics.
+    *
+    * CONTRACT (ADVICE r3): counts are valid for exactly ONE evaluation of
+    * the returned DataFrame. The bumping UDF lives in the plan, so every
+    * additional action on the result — or a downstream plan that
+    * re-executes the branch (an uncached self-join, a recomputed
+    * subplan) — adds another full pass to every counter. Callers that
+    * need counts alongside multiple actions must checkpoint/cache the
+    * returned frame first, or re-create fresh counters per action via
+    * [[dropStats]]. Correctness paths never read these counters.
     */
   final class DropStats(
       val droppedBuckets: org.apache.spark.util.LongAccumulator,

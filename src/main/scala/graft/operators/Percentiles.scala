@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT per-group percentiles with bounded executor memory at
+  * any group size — the hardened form of the sketch-bracket technique used
+  * by `q_percentile` since round 3 (reference behavior target: the
+  * reference engine's quantile aggregates; see SURVEY.md §2 B3).
+  *
+  * The round-3 shape bracketed each target rank with a percentile_approx
+  * sketch and collected the ~2·δ·n bracket slice into one aggregation
+  * buffer. Two cliffs remained (VERDICT r3 item 5, ADVICE r3):
+  *
+  *  - δ·n < 1 for small groups — the bracket is narrower than one element
+  *    and the sketch endpoints can exclude the target rank (loud NULL);
+  *  - 2·δ·n grows LINEARLY with the group — at 10^11 rows/group the slice
+  *    is 4·10^8 doubles in a single buffer (OOM). Tightening δ one-shot is
+  *    impossible: percentile_approx takes only literal percentages, so the
+  *    sketch cannot be re-anchored to a per-group adjusted rank.
+  *
+  * This operator removes both cliffs with VALUE-DOMAIN BISECTION, the
+  * distributed selection algorithm the literal-percentage limitation
+  * forces (classic iterative median-finding, the same driver-synced loop
+  * discipline as [[Dedup.clusters]]):
+  *
+  *  1. sketch pass — per group: n, and a [lo, hi] value bracket per target
+  *     (percentile_approx at p±δ; groups under `smallFloor` bracket
+  *     [min, max] instead, bounding their slice by the floor);
+  *  2. probe pass — per (group, target): EXACT count below lo and inside
+  *     [lo, hi]. These exact ranks replace the sketch guess entirely: from
+  *     here the sketch only ever narrowed the search space;
+  *  3. while any (group, target) bracket holds more than `sliceCap`
+  *     values: one pass over the materialized in-bracket subset counts
+  *     each bracket's two halves around its value midpoint and keeps the
+  *     half containing the target ranks (k and k+1 for continuous
+  *     interpolation). A straddle (k left of mid, k+1 right) resolves
+  *     immediately to max(left half), min(right half). Ties cannot stall:
+  *     when the interval collapses (lo == hi, or adjacent doubles where
+  *     mid folds onto lo) the branch logic switches to an exact ==lo
+  *     split, and every round strictly shrinks either the bracket count
+  *     or the value interval. Rounds are O(log(δ·n / cap)) for spread
+  *     data and O(64) worst-case for adversarial doubles (`maxRounds`
+  *     guards with a loud failure, never a wrong value);
+  *  4. final pass — surviving brackets (≤ cap values each) are collected
+  *     sorted, and the interpolation indexes into them by exact rank; the
+  *     symmetric form lo·(k+1−r) + hi·(r−k) matches DuckDB/Spark
+  *     percentile bitwise (memory: graft-determinism-rules).
+  *
+  * Scale notes: passes 1–2 scan the full data (two-phase aggs, one
+  * shuffle each on the group key). The bisection loop scans only the
+  * checkpointed in-bracket SUBSET (Σ cnt per target ≈ T·2δn rows — at
+  * 10^11-row groups, ~10^8 rows vs the 10^11-row parent), so refinement
+  * cost shrinks geometrically. Driver-side control flow sees only
+  * booleans (limit-1 isEmpty probes) and per-round tiny checkpointed
+  * state frames — never data rows. NULL values are excluded up front
+  * (both engines' percentile semantics ignore them).
+  */
+object Percentiles {
+
+  /** Exact continuous-interpolation percentiles, one output column per
+    * target, one row per group.
+    *
+    * @param targets   (outputColumn, percentage) pairs, percentage in [0,1]
+    * @param delta     sketch bracket half-width in rank share (±δ·n)
+    * @param accuracy  percentile_approx accuracy (rank error ≤ n/accuracy)
+    * @param sliceCap  max values any single aggregation buffer may hold
+    * @param smallFloor groups below this collect whole (must be ≤ sliceCap)
+    */
+  def exact(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      targets: Seq[(String, Double)],
+      delta: Double = 0.002,
+      accuracy: Int = 10000,
+      sliceCap: Long = 1000000L,
+      smallFloor: Long = 1000L,
+      maxRounds: Int = 256): DataFrame = {
+    require(targets.nonEmpty && targets.forall { case (_, p) => p >= 0 && p <= 1 })
+    require(smallFloor <= sliceCap, "smallFloor must not exceed sliceCap")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+    // -- pass 1: per-group n + sketch brackets (wide), then explode to the
+    //    long (g, t, p, lo, hi) state rows the loop operates on
+    val brCols = count(lit(1)).as("n") +:
+      min(col("v")).as("vmin") +: max(col("v")).as("vmax") +:
+      targets.zipWithIndex.flatMap { case ((_, p), i) => Seq(
+        percentile_approx(col("v"), lit(math.max(0.0, p - delta)), lit(accuracy))
+          .as(s"a$i"),
+        percentile_approx(col("v"), lit(math.min(1.0, p + delta)), lit(accuracy))
+          .as(s"b$i"))
+      }
+    // checkpoint the (one-row-per-group) sketch result: it feeds the probe
+    // action AND the returned plan — without truncation the expensive
+    // sketch aggregation would re-execute once per consumer
+    val br = base.groupBy(col("g")).agg(brCols.head, brCols.tail: _*)
+      .localCheckpoint(true)
+    val targetRows = targets.zipWithIndex.map { case ((name, p), i) =>
+      struct(lit(name).as("t"), lit(p).as("p"), lit(i).as("ti"))
+    }
+    val small = col("n") < lit(smallFloor)
+    val st0 = br.select(col("g"), col("n"), col("vmin"), col("vmax"),
+        explode(array(targetRows: _*)).as("tt"),
+        array(targets.indices.map(i => col(s"a$i")): _*).as("as"),
+        array(targets.indices.map(i => col(s"b$i")): _*).as("bs"))
+      .select(col("g"), col("n"), col("tt.t").as("t"), col("tt.p").as("p"),
+        when(small, col("vmin"))
+          .otherwise(element_at(col("as"), col("tt.ti") + 1)).as("lo"),
+        when(small, col("vmax"))
+          .otherwise(element_at(col("bs"), col("tt.ti") + 1)).as("hi"))
+      // 1-based target ranks for symmetric interpolation: r = (n-1)·p,
+      // k = floor(r); need elements at ranks k+1 and (k+2 capped at n)
+      .withColumn("r", (col("n") - 1) * col("p"))
+      .withColumn("rk", (floor(col("r")) + 1).cast("long"))
+      .withColumn("rkhi", least(col("rk") + 1, col("n")))
+
+    // -- pass 2: exact below/inside counts per (g, t) replace the sketch
+    //    guess (the sketch from here on has only narrowed the search)
+    val probed = base.join(broadcast(st0), "g")
+      .groupBy(col("g"), col("t"))
+      .agg(
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("v").between(col("lo"), col("hi")), 1L).otherwise(0L))
+          .as("cnt"))
+    var state = st0.join(probed, Seq("g", "t"))
+      .withColumn("done", lit(false))
+      .withColumn("el_lo", lit(null).cast("double"))
+      .withColumn("el_hi", lit(null).cast("double"))
+      .localCheckpoint(true)
+    // a bracket that failed to enclose its target ranks fails LOUDLY here
+    // rather than interpolating a wrong value downstream
+    require(state.where(col("below") >= col("rk") ||
+        col("below") + col("cnt") < col("rkhi")).limit(1).isEmpty,
+      "percentile bracket missed its target rank (sketch accuracy too low)")
+
+    def active(s: DataFrame): Column =
+      !col("done") && col("cnt") > lit(sliceCap)
+
+    // -- pass 3: bisection refinement over the materialized subset
+    var subset: DataFrame = null
+    var rounds = 0
+    while (!state.where(active(state)).limit(1).isEmpty) {
+      require(rounds < maxRounds,
+        s"percentile bisection did not converge in $maxRounds rounds")
+      if (subset == null) {
+        // one-time: materialize only in-bracket rows, tagged per target —
+        // every later pass scans this (T·2δn)-row frame, not the parent
+        subset = base.join(broadcast(st0.select(col("g"), col("t"),
+            col("lo").as("lo0"), col("hi").as("hi0"))), "g")
+          .filter(col("v").between(col("lo0"), col("hi0")))
+          .select(col("g"), col("t"), col("v"))
+          .repartition(col("g"), col("t"))
+          .localCheckpoint(true)
+      }
+      val act = state.where(active(state))
+        .select(col("g"), col("t"), col("lo"), col("hi"),
+          (col("lo") + (col("hi") - col("lo")) / 2).as("mid"))
+      // degenerate interval (mid folds onto lo for adjacent doubles):
+      // split exactly at ==lo so the round still makes progress
+      val leftP = when(col("mid") > col("lo"), col("v") < col("mid"))
+        .otherwise(col("v") <= col("lo"))
+      val halves = subset.join(broadcast(act), Seq("g", "t"))
+        .filter(col("v").between(col("lo"), col("hi")))
+        .groupBy(col("g"), col("t"))
+        .agg(
+          sum(when(leftP, 1L).otherwise(0L)).as("cl"),
+          max(when(leftP, col("v"))).as("maxl"),
+          min(when(!leftP, col("v"))).as("minr"))
+      val bc = col("below") + col("cl")
+      val goLeft = bc >= col("rkhi")
+      val goRight = bc < col("rk")
+      val refined = state.where(active(state))
+        .join(halves, Seq("g", "t"))
+        .select(col("g"), col("n"), col("t"), col("p"), col("r"), col("rk"),
+          col("rkhi"),
+          when(goLeft, col("lo")).when(goRight, col("minr"))
+            .otherwise(col("lo")).as("lo"),
+          when(goLeft, col("maxl")).when(goRight, col("hi"))
+            .otherwise(col("hi")).as("hi"),
+          when(goLeft, col("below")).when(goRight, bc)
+            .otherwise(col("below")).as("below"),
+          when(goLeft, col("cl")).when(goRight, col("cnt") - col("cl"))
+            .otherwise(col("cnt")).as("cnt"),
+          // straddle: rank k is the left half's max, k+1 the right's min
+          (!goLeft && !goRight).as("resolved"),
+          when(!goLeft && !goRight, col("maxl")).as("el_lo"),
+          when(!goLeft && !goRight, col("minr")).as("el_hi"))
+        // an interval collapsed to one value IS the answer at both ranks
+        .select(col("g"), col("n"), col("t"), col("p"), col("r"), col("rk"),
+          col("rkhi"), col("lo"), col("hi"), col("below"), col("cnt"),
+          (col("resolved") || col("lo") >= col("hi")).as("done"),
+          coalesce(col("el_lo"), when(col("lo") >= col("hi"), col("lo")))
+            .as("el_lo"),
+          coalesce(col("el_hi"), when(col("lo") >= col("hi"), col("lo")))
+            .as("el_hi"))
+      state = state.where(!active(state))
+        .unionByName(refined)
+        .localCheckpoint(true)
+      rounds += 1
+    }
+
+    // -- pass 4: collect surviving brackets (≤ cap each), look up exact
+    //    ranks, interpolate; bisection-resolved targets skip the collect
+    val pending = state.where(!col("done"))
+      .select(col("g"), col("t"), col("lo").as("flo"), col("hi").as("fhi"))
+    val collectSrc = if (subset == null) {
+      base.join(broadcast(st0.select(col("g"), col("t"),
+          col("lo").as("lo0"), col("hi").as("hi0"))), "g")
+        .filter(col("v").between(col("lo0"), col("hi0")))
+        .select(col("g"), col("t"), col("v"))
+    } else subset
+    val slices = collectSrc
+      .join(broadcast(pending), Seq("g", "t"))
+      .filter(col("v").between(col("flo"), col("fhi")))
+      .groupBy(col("g"), col("t"))
+      .agg(sort_array(collect_list(col("v"))).as("w"))
+    def sliceAt(idx: Column): Column =
+      when(idx >= 1, try_element_at(col("w"), idx.cast("int")))
+    val perTarget = state.join(slices, Seq("g", "t"), "left")
+      .select(col("g"), col("t"), col("r"), col("rk"),
+        coalesce(col("el_lo"), sliceAt(col("rk") - col("below"))).as("lo_el"),
+        coalesce(col("el_hi"),
+          when(col("rkhi") === col("rk"),
+            coalesce(col("el_lo"), sliceAt(col("rk") - col("below"))))
+            .otherwise(sliceAt(col("rkhi") - col("below")))).as("hi_el"))
+      .select(col("g"), col("t"),
+        (col("lo_el") * (floor(col("r")) + 1 - col("r")) +
+          col("hi_el") * (col("r") - floor(col("r")))).as("res"))
+    // pivot the long (g, t, res) rows back to one column per target
+    val outCols = targets.map { case (name, _) =>
+      first(when(col("t") === lit(name), col("res")), ignoreNulls = true)
+        .as(name)
+    }
+    perTarget.groupBy(col("g")).agg(outCols.head, outCols.tail: _*)
+  }
+}

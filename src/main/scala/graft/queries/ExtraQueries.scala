@@ -70,66 +70,27 @@ ORDER BY id_a, id_b""") { (s, d) =>
     },
 
     // B3c — exact percentiles (continuous interpolation), computed
-    // DISTRIBUTED: built-in percentile() buffers and sorts every group
-    // value in ONE reduce task per group (3 groups = 3 tasks, 29 idle
-    // cores; measured 2.8 s as the bench's slowest query). Instead:
-    // pass 1 brackets each target rank with a percentile_approx sketch
-    // (rank error n/acc = n/1e4, bracket margin ±0.002n = 20x the
-    // error), pass 2 computes, per group in one map-combined aggregate,
-    // the exact rank below the bracket plus the sorted bracket slice
-    // (~0.004n values), and the final interpolation indexes into the
-    // slice — measured 1.2 s, same bitwise result. The sketch endpoints
-    // wobble across runs (merge-order-dependent) but the OUTPUT depends
-    // only on (n, rank, values at rank) — deterministic; a bracket miss
-    // surfaces as a loud NULL (try_element_at), never a silent wrong
-    // value. The interpolation must be the SYMMETRIC form
-    // lo*(k+1-r) + hi*(r-k) — DuckDB's quantile_cont (and Spark's own
-    // percentile()) use it, and lo+(hi-lo)*frac differs by an ulp on
-    // real data (probed: sf0.1 flag R p95). At 100 TB the slice is
-    // n/250 doubles per group — beyond ~1e11 rows/group, iterate the
-    // bracket or take the approx path (q_percentile_approx).
+    // DISTRIBUTED by [[graft.operators.Percentiles.exact]]: built-in
+    // percentile() buffers and sorts every group value in ONE reduce task
+    // per group (3 groups = 3 tasks, 29 idle cores; measured 2.8 s as the
+    // r2 bench's slowest query). The operator sketch-brackets each target
+    // rank, probes exact ranks, bisection-refines any bracket over the
+    // slice cap (removing the r3 group-size cliff — at 1e11 rows/group
+    // the old one-shot slice was 4e8 doubles in one buffer), and handles
+    // sub-floor groups by whole-group collection (the r3 small-group
+    // NULL). Output depends only on (n, rank, values at rank) —
+    // deterministic and bitwise-equal to DuckDB quantile_cont via the
+    // symmetric interpolation (memory: graft-determinism-rules).
     Q("q_percentile",
       """SELECT l_returnflag,
   quantile_cont(l_extendedprice, 0.5) AS p50,
   quantile_cont(l_extendedprice, 0.95) AS p95
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      val delta = 0.002
-      val br = li.groupBy(col("l_returnflag")).agg(
-        percentile_approx(col("v"), lit(0.5 - delta), lit(10000)).as("a50"),
-        percentile_approx(col("v"), lit(0.5 + delta), lit(10000)).as("b50"),
-        percentile_approx(col("v"), lit(0.95 - delta), lit(10000)).as("a95"),
-        percentile_approx(col("v"), lit(0.95 + delta), lit(10000)).as("b95"))
-      val agg = li.join(broadcast(br), "l_returnflag")
-        .groupBy(col("l_returnflag")).agg(
-          count(lit(1)).as("n"),
-          sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("ra50"),
-          sort_array(collect_list(
-            when(col("v").between(col("a50"), col("b50")), col("v")))).as("w50"),
-          sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("ra95"),
-          sort_array(collect_list(
-            when(col("v").between(col("a95"), col("b95")), col("v")))).as("w95"))
-      // slice lookup with a HONEST miss contract: a non-positive index
-      // (low-side bracket miss) must be NULL — try_element_at throws on 0
-      // and reads NEGATIVE indices from the array END (silently wrong);
-      // an index past the slice is NULL via try_element_at. hi falls back
-      // to lo ONLY at the true last position (k = n-1, where frac = 0 and
-      // hi is unused) — a high-side bracket miss elsewhere stays NULL
-      // instead of silently degrading the interpolation to lo.
-      def sliceAt(arr: Column, idx: Column): Column =
-        when(idx >= 1, try_element_at(arr, idx.cast("int")))
-      def interp(p: Double, rankA: Column, arr: Column): Column = {
-        val r = (col("n") - 1) * lit(p)
-        val k = floor(r)
-        val lo = sliceAt(arr, k - rankA + 1)
-        val hi = when(k === col("n") - 1, lo)
-          .otherwise(sliceAt(arr, k - rankA + 2))
-        lo * (k + 1 - r) + hi * (r - k)
-      }
-      agg.select(col("l_returnflag"),
-          interp(0.5, col("ra50"), col("w50")).as("p50"),
-          interp(0.95, col("ra95"), col("w95")).as("p95"))
+      graft.operators.Percentiles.exact(
+          Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_extendedprice"),
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("g").as("l_returnflag"), col("p50"), col("p95"))
         .orderBy("l_returnflag")
     },
 

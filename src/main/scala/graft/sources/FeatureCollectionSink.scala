@@ -117,19 +117,41 @@ class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
   // renamed so far before rethrowing — otherwise a failed job would
   // leave a PARTIAL document set at final names, the exact outcome the
   // protocol exists to prevent (abort() only knows the temp paths).
+  // Redelivery safety (ADVICE r3): a final name may already hold a
+  // PREVIOUSLY delivered document (batch re-run into the same dir, or a
+  // replayed streaming epoch whose earlier partial commit succeeded).
+  // Each such original is renamed aside before being replaced, so a
+  // failed commit restores it instead of deleting the replacement and
+  // destroying the earlier delivery; a successful commit discards the
+  // set-aside copies.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val delivered = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    try messages.foreach {
-      case FcCommit(null, _) => () // empty partition: nothing written
-      case FcCommit(tmp, fin) =>
-        val target = Paths.get(dir, fin)
-        Files.move(Paths.get(tmp), target,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        delivered += target
-      case other => throw new IllegalStateException(s"unexpected $other")
+    // (target, set-aside original if one existed)
+    val delivered = scala.collection.mutable
+      .ArrayBuffer.empty[(java.nio.file.Path, Option[java.nio.file.Path])]
+    try {
+      messages.foreach {
+        case FcCommit(null, _) => () // empty partition: nothing written
+        case FcCommit(tmp, fin) =>
+          val target = Paths.get(dir, fin)
+          val aside =
+            if (Files.exists(target)) {
+              val a = Paths.get(dir, s".$fin.replaced-${System.nanoTime()}.tmp")
+              Files.move(target, a, StandardCopyOption.ATOMIC_MOVE)
+              Some(a)
+            } else None
+          Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+          delivered += ((target, aside))
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+      delivered.foreach { case (_, aside) => aside.foreach(Files.deleteIfExists) }
     } catch {
       case e: Throwable =>
-        delivered.foreach(Files.deleteIfExists)
+        delivered.reverse.foreach {
+          case (target, Some(orig)) =>
+            Files.move(orig, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          case (target, None) => Files.deleteIfExists(target)
+        }
         throw e
     }
   }

@@ -46,6 +46,55 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("Percentiles.exact bisection survives an adversarial single group (tiny cap forces refinement)") {
+    import spark.implicits._
+    // one group, heavy tie mass at one value plus a spread tail: the
+    // sketch bracket around p50 contains the whole tie pile (bisection
+    // must collapse the interval to the tied value), and a 50-value cap
+    // forces multiple refinement rounds on the p95 tail
+    val n = 20000
+    val vals = (0 until n).map { i =>
+      if (i < n * 9 / 10) 42.0 else 1000.0 + (i % 997) * 0.5
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").withColumn("grp", lit("only"))
+    val got = graft.operators.Percentiles.exact(
+        df, col("grp"), col("v"), Seq("p50" -> 0.5, "p95" -> 0.95),
+        sliceCap = 50L, smallFloor = 10L)
+      .collect().map(r => (r.getString(0),
+        r.getAs[Double]("p50"), r.getAs[Double]("p95"))).head
+    // reference: single-node exact symmetric interpolation
+    def ref(p: Double): Double = {
+      val s = vals.sorted
+      val r = (n - 1) * p; val k = math.floor(r).toInt
+      val hi = if (k + 1 < n) s(k + 1) else s(k)
+      s(k) * (k + 1 - r) + hi * (r - k)
+    }
+    assert(got._2 == ref(0.5), s"p50 ${got._2} != ${ref(0.5)}")
+    assert(got._3 == ref(0.95), s"p95 ${got._3} != ${ref(0.95)}")
+  }
+
+  test("Percentiles.exact handles sub-floor groups exactly (whole-group fallback)") {
+    import spark.implicits._
+    // n=2, p=0.95: the +/-0.002n bracket is narrower than one element —
+    // the r3 shape returned NULL here (ADVICE r3); the floor path must
+    // return the exact interpolation
+    val df = Seq(("a", 10.0), ("a", 20.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("grp", "v")
+    val rows = graft.operators.Percentiles.exact(
+        df, col("grp"), col("v"), Seq("p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p95")).toMap
+    // expected values use the engine's exact IEEE formula shape
+    // lo*(k+1-r) + hi*(r-k) — algebraically equal forms differ by ulps
+    def ref(s: Seq[Double], p: Double): Double = {
+      val r = (s.length - 1) * p; val k = math.floor(r).toInt
+      val hi = if (k + 1 < s.length) s(k + 1) else s(k)
+      s(k) * (k + 1 - r) + hi * (r - k)
+    }
+    assert(rows("a") == ref(Seq(10.0, 20.0), 0.95))
+    assert(rows("b") == ref(Seq(1.0, 2.0, 3.0), 0.95))
+  }
+
   test("generic-rank UDF truncation equals the codegen'd typed path on all driver rows") {
     val typed = CalTopo.coordTruncate(
       CalTopo.mainFlow(CalTopoFeatures.build(spark, sfDir)))

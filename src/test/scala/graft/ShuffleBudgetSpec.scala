@@ -70,7 +70,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ntile_approx" -> 6, // bracket-sketch agg + rank/slice agg + their two broadcasts + final bin agg + output sort; no per-group window anywhere
 
     "q_pack_sequences" -> 2,
-    "q_percentile" -> 4, // sketch-bracket pass + exact-refine pass (both two-phase aggs); deliberate trade vs the 3-task buffered sort
+    "q_percentile" -> 6, // Percentiles.exact final plan: slice agg on the data (the one data-scale shuffle) + two broadcasts + state⋈slices SMJ + pivot agg + output sort — state/slices frames are group-count-sized, not data-sized; sketch+probe passes ran eagerly at build (checkpointed)
     "q_percentile_approx" -> 2,
     "q_pipeline_decontaminate" -> 5,
     "q_pipeline_training_prep" -> 3,

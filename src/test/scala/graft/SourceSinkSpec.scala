@@ -122,6 +122,38 @@ class SourceSinkSpec extends SparkSpec {
       .sameElements(Array("a", "b", "c")))
   }
 
+  test("failed commit restores previously delivered documents it had replaced") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val dir = "/tmp/graft-rollback-sink"
+    val d = Paths.get(dir)
+    if (d.toFile.exists()) d.toFile.listFiles().foreach(_.delete())
+    Files.createDirectories(d)
+    // an EARLIER delivery already sits at the final name (re-run of a
+    // batch job into the same dir / replayed streaming epoch)
+    val target = d.resolve("doc-00000.json")
+    Files.write(target, "EARLIER DELIVERY".getBytes(StandardCharsets.UTF_8))
+    // this job's temp document, about to replace it
+    val tmp = d.resolve(".doc-00000-attempt1.tmp")
+    Files.write(tmp, "NEW PARTIAL".getBytes(StandardCharsets.UTF_8))
+    val bw = new graft.sources.FcBatchWrite(dir, "doc")
+    // second message is malformed: commit renames the first document,
+    // then throws — the rollback path must run
+    val boom = new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+    intercept[IllegalStateException] {
+      bw.commit(Array(
+        graft.sources.FcCommit(tmp.toString, "doc-00000.json"), boom))
+    }
+    // ADVICE r3: rollback must RESTORE the earlier delivery, not delete
+    // the replacement and destroy it
+    assert(Files.exists(target), "earlier delivery was destroyed by rollback")
+    assert(new String(Files.readAllBytes(target), StandardCharsets.UTF_8)
+      == "EARLIER DELIVERY")
+    // no set-aside or temp residue
+    assert(d.toFile.listFiles().map(_.getName).toSet == Set("doc-00000.json"),
+      d.toFile.listFiles().map(_.getName).mkString(","))
+  }
+
   test("fetch retry: transient failures retry with backoff, then succeed") {
     var calls = 0
     val got = graft.sources.Fetch.withRetry(maxAttempts = 3, backoffMs = 1) {
