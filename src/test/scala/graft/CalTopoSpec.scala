@@ -121,6 +121,29 @@ class CalTopoSpec extends SparkSpec {
     assert(m2.getString(1) == "")
   }
 
+  test("A9 null-style values NULLIFY (pinned divergence from JS String(null)='null' / Number(null)=0)") {
+    // The reference (task.ts:116-120) copies style fields through JS
+    // String()/Number(): a present-but-null fill would become the literal
+    // string "null" and a null numeric opacity would become 0. The engine
+    // DELIBERATELY nullifies instead (operators/CalTopo.scala:14-21):
+    // "null"-the-string and 0-opacity are corrupt style data no consumer
+    // wants, and schema-valid CalTopo exports never exercise the branch.
+    // This spec pins the chosen behavior on an explicit null-style row so
+    // the divergence is tested contract, not a comment (VERDICT r3 item 6).
+    val row = CalTopo.enrichProperties(CalTopo.projectNest(
+        CalTopo.mainFlow(handRows)))
+      .filter(col("id") === "s1") // its fill/stroke/opacities are all null
+      .select(
+        col("properties.fill"), col("properties.fill_opacity"),
+        col("properties.stroke"), col("properties.stroke_opacity"),
+        col("properties.stroke_width"))
+      .collect().head
+    (0 until 5).foreach { i =>
+      assert(row.isNullAt(i),
+        s"null style field $i must stay NULL (never JS 'null'/0 coercion)")
+    }
+  }
+
   test("falsy description coalesces to empty remarks") {
     val df = CalTopo.enrichProperties(
       CalTopo.projectNest(CalTopo.mainFlow(handRows)))
