@@ -25,8 +25,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `abort()` removes whatever temps exist.
   *
   * One FeatureCollection document per non-empty partition, same layout as
-  * [[FeatureSink]]; an HTTP transport swaps the rename step for a POST
-  * (deliver-on-commit), nothing else.
+  * [[FeatureSink]]. The delivery step is transport-dispatched on the `path`
+  * option's scheme ([[DocTransport]]): a directory path renames temps to
+  * final names; an http(s) URL POSTs each document to `$path/$finalName`
+  * at commit (the reference's submit, `task.ts:154`), spooling task temps
+  * under `spoolDir` (driver-visible; defaults under java.io.tmpdir).
   *
   * Input contract: ONE string column holding each row's Feature JSON —
   * produced by [[FeatureCollectionSink.write]], which wraps the caller's
@@ -40,11 +43,19 @@ class FeatureCollectionSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FeatureCollectionSink.inputSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("FeatureCollectionSink requires .option(\"path\", dir)"))
     new FcSinkTable(
-      Option(properties.get("path")).getOrElse(
-        throw new IllegalArgumentException("FeatureCollectionSink requires .option(\"path\", dir)")),
-      Option(properties.get("prefix")).getOrElse("featurecollection"))
+      path,
+      Option(properties.get("prefix")).getOrElse("featurecollection"),
+      // HTTP targets spool task temps on a driver-visible filesystem (same
+      // shared-fs assumption the file protocol already makes of `dir`)
+      Option(properties.get("spoolDir")).getOrElse(
+        if (DocTransport.isHttp(path))
+          sys.props("java.io.tmpdir") + "/graft-fc-spool"
+        else path))
+  }
 }
 
 object FeatureCollectionSink {
@@ -63,7 +74,8 @@ object FeatureCollectionSink {
       .mode("append").save()
 }
 
-class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite {
+class FcSinkTable(dir: String, prefix: String, spool: String)
+    extends Table with SupportsWrite {
   override def name(): String = s"featurecollection-sink($dir)"
   override def schema(): StructType = FeatureCollectionSink.inputSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -75,12 +87,12 @@ class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite 
         s"got ${info.schema().simpleString} — use FeatureCollectionSink.write")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new FcBatchWrite(dir, prefix)
+        override def toBatch: BatchWrite = new FcBatchWrite(dir, prefix, spool)
         // streaming epochs scope the document names by micro-batch id, so
         // successive epochs never collide and a replayed epoch (failure
         // recovery) overwrites its own documents idempotently
         override def toStreaming: streaming.StreamingWrite =
-          new FcStreamingWrite(dir, prefix)
+          new FcStreamingWrite(dir, prefix, spool)
       }
     }
   }
@@ -90,33 +102,66 @@ class FcSinkTable(dir: String, prefix: String) extends Table with SupportsWrite 
   * exactly-once delivery per micro-batch under replay (an epoch that
   * re-runs renames onto the same names).
   */
-class FcStreamingWrite(dir: String, prefix: String)
+class FcStreamingWrite(dir: String, prefix: String, spool: String)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new FcStreamingWriterFactory(dir, prefix)
+    new FcStreamingWriterFactory(spool, prefix)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    new FcBatchWrite(dir, prefix).commit(messages)
+    new FcBatchWrite(dir, prefix, spool).commit(messages)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    new FcBatchWrite(dir, prefix).abort(messages)
+    new FcBatchWrite(dir, prefix, spool).abort(messages)
 }
 
 /** Commit message: (tempPath, finalName) of one task's document. */
 case class FcCommit(tempPath: String, finalName: String)
   extends WriterCommitMessage
 
-class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
+class FcBatchWrite(dir: String, prefix: String, spool: String)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FcWriterFactory(dir, prefix)
+    new FcWriterFactory(spool, prefix)
 
-  // deliver-on-commit: only after EVERY task reported success do the
-  // temp documents take their final names (an HTTP transport would POST
-  // here instead). A rename failure midway un-delivers the documents
-  // renamed so far before rethrowing — otherwise a failed job would
-  // leave a PARTIAL document set at final names, the exact outcome the
-  // protocol exists to prevent (abort() only knows the temp paths).
+  // deliver-on-commit: only after EVERY task reported success are the
+  // temp documents delivered — renamed to final names (file protocol) or
+  // POSTed to `$dir/$finalName` (HTTP protocol, reference task.ts:154).
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (DocTransport.isHttp(dir)) commitHttp(messages)
+    else commitFile(messages)
+
+  /** HTTP delivery: one POST per document, transient statuses retried in
+    * place ([[Fetch.withRetry]] over [[HttpTransport.deliver]]). POSTs are
+    * NOT transactional across documents — a failure midway leaves the
+    * already-POSTed documents delivered, and the job-level rerun re-POSTs
+    * everything: AT-LEAST-ONCE per document, exactly the reference's
+    * Lambda-retry delivery contract (`task.ts:154` POSTs once per run and
+    * the scheduler reruns failed invocations). Receivers needing
+    * exactly-once should key on the document name (names are stable across
+    * reruns; streaming epochs scope them by epoch id). Temps are deleted
+    * only after their POST succeeds, so a failed commit leaves the
+    * undelivered temps for abort() to sweep.
+    */
+  private def commitHttp(messages: Array[WriterCommitMessage]): Unit = {
+    val base = if (dir.endsWith("/")) dir.dropRight(1) else dir
+    messages.foreach {
+      case FcCommit(null, _) => () // empty partition: nothing written
+      case FcCommit(tmp, fin) =>
+        Fetch.withRetry(maxAttempts = 3, backoffMs = 100L) {
+          HttpTransport.deliver(s"$base/$fin", Paths.get(tmp))
+        }
+        Files.deleteIfExists(Paths.get(tmp))
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+  }
+
+  // File delivery: renames are atomic per document and reversible, so the
+  // protocol is stronger than HTTP's — a rename failure midway
+  // un-delivers the documents renamed so far before rethrowing; otherwise
+  // a failed job would leave a PARTIAL document set at final names, the
+  // exact outcome the protocol exists to prevent (abort() only knows the
+  // temp paths).
   // Redelivery safety (ADVICE r3): a final name may already hold a
   // PREVIOUSLY delivered document (batch re-run into the same dir, or a
   // replayed streaming epoch whose earlier partial commit succeeded).
@@ -124,7 +169,7 @@ class FcBatchWrite(dir: String, prefix: String) extends BatchWrite {
   // failed commit restores it instead of deleting the replacement and
   // destroying the earlier delivery; a successful commit discards the
   // set-aside copies.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  private def commitFile(messages: Array[WriterCommitMessage]): Unit = {
     // (target, set-aside original if one existed)
     val delivered = scala.collection.mutable
       .ArrayBuffer.empty[(java.nio.file.Path, Option[java.nio.file.Path])]

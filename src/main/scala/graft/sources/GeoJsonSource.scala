@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * A1): the reference's scan is an HTTP GET of one CalTopo map's state
   * (`/root/reference/task.ts:68-88`); this is the productionized Spark
   * shape — a TableProvider whose partitions are fetch units. Here the fetch
-  * unit is a local file (one file = one InputPartition = one task); an HTTP
-  * implementation swaps the open() call, nothing else.
+  * unit is either a local file or an http(s) URL (one unit = one
+  * InputPartition = one task); [[DocTransport]] dispatches on the scheme,
+  * so the same scan reads a directory of documents or a list of live map
+  * endpoints.
   *
   * Row shape: (id, feature_type, properties_json, geom_type, geom_coords) —
   * properties stay raw JSON so the strict typed decode (A2,
@@ -89,11 +91,14 @@ case class GeoJsonPartition(path: String, maxAttempts: Int = 3,
 class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L)
     extends PartitionReader[InternalRow] {
   private val features: Iterator[JsonNode] = {
-    // the fetch: transient I/O retries in place (Fetch.withRetry), a
-    // malformed document aborts the task — reference fetch().typed()
-    // semantics split across retry and decode layers
+    // the fetch: transport picked by scheme (file, or live HTTP GET for
+    // http(s):// fetch units — reference task.ts:70); transient faults
+    // (I/O, 5xx) retry in place (Fetch.withRetry), permanent faults (4xx,
+    // malformed document) abort the task — reference fetch().typed()
+    // semantics split across transport, retry, and decode layers
     val root = Fetch.withRetry(maxAttempts, backoffMs) {
-      new ObjectMapper().readTree(new java.io.File(path))
+      val in = DocTransport.forTarget(path).open(path)
+      try new ObjectMapper().readTree(in) finally in.close()
     }
     val fc =
       if (root.has("result")) root.path("result").path("state") else root

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.io.{FileInputStream, IOException, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Path
+import java.time.Duration
+
+/** Pluggable document transport for the engine's two process boundaries
+  * (SURVEY.md §2 A1/A14). The reference's boundaries are live HTTPS calls —
+  * a GET of one map's state (`/root/reference/task.ts:70`) and a POST of the
+  * transformed FeatureCollection (`task.ts:154`). The engine keeps those
+  * boundaries behind one seam:
+  *
+  *  - [[FileTransport]] (default): fetch = open a local file, deliver =
+  *    atomic rename — the sandbox/test protocol, and also the right protocol
+  *    for staging through a shared filesystem.
+  *  - [[HttpTransport]]: fetch = GET, deliver = POST, over `java.net.http`
+  *    (JDK built-in, no extra dependency). Selected automatically when the
+  *    target is an `http://`/`https://` URL.
+  *
+  * Failure classification is part of the transport contract and feeds
+  * [[Fetch.isTransient]] unchanged: transient faults (connect/read errors,
+  * HTTP 5xx/408/429) raise [[HttpStatusException.Transient]] — an
+  * `IOException`, so `Fetch.withRetry` retries in place; permanent faults
+  * (other 4xx) raise [[HttpStatusException.Permanent]] — NOT an
+  * `IOException`, so the task aborts immediately and Spark's own retry /
+  * job-abort policy takes over, the reference's scheduled-rerun semantic.
+  */
+trait DocTransport extends Serializable {
+
+  /** Open the document at `target` for reading (the A1 fetch). */
+  def open(target: String): InputStream
+
+  /** Deliver the finished document `body` to `target` (the A14 submit).
+    * File protocol: atomic rename (the caller owns set-aside/rollback).
+    * HTTP protocol: POST — NOT atomic across documents; see
+    * [[FcBatchWrite.commit]] for the at-least-once contract.
+    */
+  def deliver(target: String, body: Path): Unit
+}
+
+object DocTransport {
+  def isHttp(target: String): Boolean = {
+    val t = target.toLowerCase(java.util.Locale.ROOT)
+    t.startsWith("http://") || t.startsWith("https://")
+  }
+
+  /** Scheme-based dispatch: URLs ride HTTP, everything else is a file. */
+  def forTarget(target: String): DocTransport =
+    if (isHttp(target)) HttpTransport else FileTransport
+}
+
+object FileTransport extends DocTransport {
+  override def open(target: String): InputStream =
+    new FileInputStream(target) // FileNotFoundException => transient (Fetch)
+
+  override def deliver(target: String, body: Path): Unit =
+    java.nio.file.Files.move(body, java.nio.file.Paths.get(target),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+}
+
+/** HTTP status mapped onto the retry taxonomy. `Transient` extends
+  * IOException on purpose — [[Fetch.isTransient]] already classifies
+  * IOException as retry-in-place, so a 503 behaves exactly like a
+  * connection reset. `Permanent` (e.g. 404, 401) is a RuntimeException:
+  * retrying re-fetches the same rejection, so the task aborts at once.
+  */
+object HttpStatusException {
+  final class Transient(val status: Int, url: String)
+    extends IOException(s"HTTP $status from $url (transient)")
+  final class Permanent(val status: Int, url: String)
+    extends RuntimeException(s"HTTP $status from $url (permanent)")
+
+  def raise(status: Int, url: String): Nothing =
+    if (status >= 500 || status == 408 || status == 429)
+      throw new Transient(status, url)
+    else throw new Permanent(status, url)
+}
+
+object HttpTransport extends DocTransport {
+  // One client per executor JVM: HttpClient pools connections internally,
+  // and building one per task would defeat keep-alive. @transient — the
+  // singleton re-creates it lazily after deserialization on executors.
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  override def open(target: String): InputStream = {
+    val req = HttpRequest.newBuilder(URI.create(target))
+      .timeout(Duration.ofSeconds(60)).GET().build()
+    // connect/read failures throw IOException subclasses => transient
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() / 100 == 2) resp.body()
+    else {
+      resp.body().close()
+      HttpStatusException.raise(resp.statusCode(), target)
+    }
+  }
+
+  override def deliver(target: String, body: Path): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(target))
+      .timeout(Duration.ofSeconds(60))
+      .header("Content-Type", "application/geo+json")
+      .POST(HttpRequest.BodyPublishers.ofFile(body))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
+    if (resp.statusCode() / 100 != 2)
+      HttpStatusException.raise(resp.statusCode(), target)
+  }
+}

@@ -1,19 +1,40 @@
 package graft
+import org.apache.spark.sql.SparkSession
 import graft.queries.Registry
+
+/** Regenerates PLANS.md. Session config mirrors the driver's Bench run
+  * (local[32], shuffle.partitions=32) and plans against sf0.1 — the SF the
+  * bench actually measures (VERDICT r3 §next.7: AQE/broadcast thresholds
+  * see sf0.1 input stats, so plans recorded at sf0.001 could differ from
+  * the benched ones).
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSpec.session
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plandump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val names = Seq("flagship", "q_sql_tpch_q5", "q_sql_tpch_q18", "q_dedup_minhash",
       "q_knn_lsh", "q_percentile", "q_text_repetition", "q_pack_sequences",
-      "q_stream_join", "q_event_retention", "q_text_tfidf", "q_dedup_clusters")
+      "q_stream_join", "q_event_retention", "q_text_tfidf", "q_dedup_clusters",
+      "q_text_vocab", "q_ntile_approx")
     val sb = new StringBuilder
-    sb.append("# PLANS — headline physical plans (sf0.001, local[4]; key operator lines only)\n\n")
+    sb.append(s"# PLANS — headline physical plans ($sfDir, local[$cpus], " +
+      "shuffle.partitions=" + cpus + " — the bench config; key operator lines only)\n\n")
     sb.append("Generated from `queryExecution.executedPlan` (initial plan — AQE may further\n")
     sb.append("coalesce/replan at runtime). Lines filtered to joins, exchanges, aggregates,\n")
     sb.append("windows, generators, and scans — the operators that decide 100 TB behavior.\n")
     for (n <- names) {
       val q = Registry.all.find(_.name == n).get
-      val plan = q.build(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       sb.append(s"\n## $n\n\n```\n")
       plan.split("\n").foreach { l =>
         val keep = Seq("Join", "Exchange", "HashAggregate", "ObjectHashAggregate",

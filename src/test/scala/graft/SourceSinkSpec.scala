@@ -136,7 +136,7 @@ class SourceSinkSpec extends SparkSpec {
     // this job's temp document, about to replace it
     val tmp = d.resolve(".doc-00000-attempt1.tmp")
     Files.write(tmp, "NEW PARTIAL".getBytes(StandardCharsets.UTF_8))
-    val bw = new graft.sources.FcBatchWrite(dir, "doc")
+    val bw = new graft.sources.FcBatchWrite(dir, "doc", dir)
     // second message is malformed: commit renames the first document,
     // then throws — the rollback path must run
     val boom = new org.apache.spark.sql.connector.write.WriterCommitMessage {}
