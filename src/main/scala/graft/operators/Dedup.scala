@@ -271,8 +271,18 @@ object Dedup {
     * original), so few iterations in practice; maxIter bounds pathology.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Both edge directions explode from ONE evaluation of `pairs`: a
+    // union of pairs with pairs-swapped executes the pair-generation
+    // subplan once PER UNION SIDE (minhashPairs' signature/bucket
+    // pipeline is the expensive input here, and exchange reuse does not
+    // fire across the swapped projections — measured ~2s of the dedup
+    // family's bench time). distinct() stays: the operator's contract
+    // only asks for (id_a < id_b) pairs, not uniqueness.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     // Pointer-jumping propagation: each round takes (a) the min over
     // 1-hop neighbors AND (b) the label OF the current label (path
