@@ -77,7 +77,23 @@ object Vectors {
   def knnLsh(emb: DataFrame, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
     // candidate pairs travel as BARE ID PAIRS through bucketing and
     // dedup — carrying the embeddings through those shuffles multiplied
-    // shuffle bytes ~30x (measured); the vectors re-join AFTER dedup
+    // shuffle bytes ~30x (measured); the vectors re-join AFTER dedup.
+    // Pair generation IS a bucket self-join, deliberately unlike
+    // minhashPairs' collect-members shape: with only tables*2^bits
+    // buckets, members-per-bucket grows linearly with the corpus, and a
+    // collect-then-explode materializes an n^2 nested array per bucket
+    // in ONE task (measured 5x slower at sf1, where buckets hold ~300
+    // members) — the self-join streams in-bucket pairs with full
+    // parallelism. The per-side lshBuckets recompute is measured NOISE
+    // here (a checkpoint that de-duplicates it costs as much to
+    // materialize as it saves — unlike minhashPairs' 64-slot signature
+    // aggregate, the projection is cheap relative to the pair join).
+    // NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
+    // in the duplication factor (exact copies share every bucket) —
+    // measured on the 10x-replicated sf1 set; the production mitigation
+    // is exact-dedup of identical vectors before indexing, not a bucket
+    // cap (for kNN the mega-bucket holds exactly the true neighbors, so
+    // dropping it destroys recall).
     val withBucket = emb
       .select(col("vec_id"),
         posexplode(lshBuckets(col("embedding"), bits, tables))
