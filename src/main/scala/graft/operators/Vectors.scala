@@ -74,26 +74,24 @@ object Vectors {
     * is (table, bucket); candidate generation stays an equi-join, never
     * all-pairs.
     */
-  def knnLsh(emb: DataFrame, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
-    // candidate pairs travel as BARE ID PAIRS through bucketing and
-    // dedup — carrying the embeddings through those shuffles multiplied
-    // shuffle bytes ~30x (measured); the vectors re-join AFTER dedup.
-    // Pair generation IS a bucket self-join, deliberately unlike
-    // minhashPairs' collect-members shape: with only tables*2^bits
-    // buckets, members-per-bucket grows linearly with the corpus, and a
-    // collect-then-explode materializes an n^2 nested array per bucket
-    // in ONE task (measured 5x slower at sf1, where buckets hold ~300
-    // members) — the self-join streams in-bucket pairs with full
-    // parallelism. The per-side lshBuckets recompute is measured NOISE
-    // here (a checkpoint that de-duplicates it costs as much to
-    // materialize as it saves — unlike minhashPairs' 64-slot signature
-    // aggregate, the projection is cheap relative to the pair join).
-    // NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
-    // in the duplication factor (exact copies share every bucket) —
-    // measured on the 10x-replicated sf1 set; the production mitigation
-    // is exact-dedup of identical vectors before indexing, not a bucket
-    // cap (for kNN the mega-bucket holds exactly the true neighbors, so
-    // dropping it destroys recall).
+  /** All scored candidate pairs (both directions, deduplicated across
+    * tables) — the shared core of [[knnLsh]] and [[knnLshDeduped]].
+    *
+    * Candidate pairs travel as BARE ID PAIRS through bucketing and
+    * dedup — carrying the embeddings through those shuffles multiplied
+    * shuffle bytes ~30x (measured); the vectors re-join AFTER dedup.
+    * Pair generation IS a bucket self-join, deliberately unlike
+    * minhashPairs' collect-members shape: with only tables*2^bits
+    * buckets, members-per-bucket grows linearly with the corpus, and a
+    * collect-then-explode materializes an n^2 nested array per bucket
+    * in ONE task (measured 5x slower at sf1, where buckets hold ~300
+    * members) — the self-join streams in-bucket pairs with full
+    * parallelism. The per-side lshBuckets recompute is measured NOISE
+    * here (a checkpoint that de-duplicates it costs as much to
+    * materialize as it saves — unlike minhashPairs' 64-slot signature
+    * aggregate, the projection is cheap relative to the pair join).
+    */
+  private def lshCandidates(emb: DataFrame, bits: Int, tables: Int): DataFrame = {
     val withBucket = emb
       .select(col("vec_id"),
         posexplode(lshBuckets(col("embedding"), bits, tables))
@@ -109,8 +107,6 @@ object Vectors {
       .dropDuplicates("id_a", "id_b") // same pair can match in many tables
     val embA = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val embB = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cos_sim").desc, col("id_b"))
     // plain shuffled equi-joins: the corpus is the BIG side — an explicit
     // broadcast of it cannot survive 100 TB (VERDICT r1 §wrong.4). AQE may
     // still choose broadcast when the table is measured small; that choice
@@ -120,9 +116,99 @@ object Vectors {
       .join(embA, "id_a")
       .select(col("id_a"), col("id_b"),
         cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Per-probe top-k over a scored candidate frame — the shared ranking
+    * tail: same window spec everywhere, so tie order (cos_sim desc,
+    * id_b asc) is identical across the knnLsh variants.
+    */
+  private def topK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos_sim").desc, col("id_b"))
+    cands.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
+    * in the duplication factor (exact copies share every bucket) —
+    * measured on the 10x-replicated sf1 set. The production mitigation
+    * is [[knnLshDeduped]] (exact-dedup of identical vectors before
+    * indexing), not a bucket cap: for kNN the mega-bucket holds exactly
+    * the true neighbors, so dropping it destroys recall.
+    */
+  def knnLsh(emb: DataFrame, k: Int, bits: Int = 6, tables: Int = 8): DataFrame =
+    topK(lshCandidates(emb, bits, tables), k)
+
+  /** Dedup-before-index kNN: group bitwise-identical vectors, LSH-search
+    * only the unique representatives, rank at GROUP level, and expand
+    * only what can reach a top-k — RESULT-IDENTICAL to [[knnLsh]]
+    * (KnnSpec pins bitwise equality on duplicated and duplicate-free
+    * corpora) while every expensive stage sees unique-corpus volume:
+    *
+    *  - identical vectors produce identical bucket sets, so a member
+    *    pair shares a bucket iff its representative pair does — the
+    *    candidate GROUPS equal knnLsh's candidate structure exactly, at
+    *    1/dup² the pair count;
+    *  - per probe group, only the top-k candidate groups ranked by
+    *    (sim desc, lowest-member-id asc) can contribute: each
+    *    higher-ranked group puts at least one candidate strictly ahead
+    *    of a lower group's best in the (sim desc, id asc) member order,
+    *    so a group ranked past k can never break into any member's
+    *    top-k;
+    *  - within a candidate group, only its k lowest-id members can
+    *    appear in any top-k (k same-sim co-members precede the rest);
+    *  - same-group neighbors all score cosine(v,v) — computed with the
+    *    same fold, so bitwise-equal to knnLsh's value for the pair —
+    *    and only the k+1 lowest ids (minus self) can survive.
+    *
+    * So the final member-level window sees O(|members| · k²) rows
+    * instead of the duplicate-quadratic candidate set. A naive
+    * expand-everything-then-rank variant was measured SLOWER than plain
+    * knnLsh at sf1 (22 s vs 12 s — the window input is the whole
+    * quadratic set either way); this group-ranked shape is the one that
+    * pays. At 100 TB the groupBy(embedding) shuffle carries full vectors
+    * once; shrink the key to xxhash64(embedding)+embedding if byte
+    * volume dominates (same plan shape).
+    */
+  def knnLshDeduped(emb: DataFrame, k: Int, bits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    // one shuffle, materialized once: reps feed lshCandidates (which
+    // self-joins), and groups feed the b-side metadata, the a-side
+    // expansion, and the same-group emission
+    val groups = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("ids"))
+      .localCheckpoint(false) // lazy: no job until the query executes
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    // candidate-group metadata: the only members of a group that can
+    // ever reach a top-k are its k lowest ids
+    val bMeta = groups.select(col("rep").as("id_b"),
+      slice(col("ids"), 1, k).as("b_ids"))
+    // rank candidate groups per probe group; keep the k that can matter
+    val wg = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos_sim").desc, element_at(col("b_ids"), 1).asc)
+    val topGroups = lshCandidates(reps, bits, tables)
+      .join(bMeta, "id_b")
+      .withColumn("grn", row_number().over(wg))
+      .filter(col("grn") <= k)
+      .drop("grn", "id_b")
+    // expand: every member of the probe group × the k candidate ids
+    val aMembers = groups.select(col("rep").as("id_a"),
+      explode(col("ids")).as("ma"))
+    val cross = topGroups.join(aMembers, "id_a")
+      .select(col("ma").as("id_a"),
+        explode(col("b_ids")).as("id_b"), col("cos_sim"))
+    // same-group: per member, the k+1 lowest-id co-members (minus self)
+    val own = groups.filter(size(col("ids")) >= 2)
+      .select(col("ids"),
+        cosine(col("embedding"), col("embedding")).as("cos_sim"))
+      .select(explode(col("ids")).as("id_a"), col("ids"), col("cos_sim"))
+      .select(col("id_a"),
+        explode(filter(slice(col("ids"), 1, k + 1),
+          x => x =!= col("id_a"))).as("id_b"),
+        col("cos_sim"))
+    topK(cross.unionByName(own), k)
   }
 
   /** IVF-style search: partition the corpus by its `label` column (the

@@ -54,6 +54,17 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
         .orderBy("id_a", "id_b")
     },
 
+    // B21b' — dedup-before-index kNN: identical vectors are searched
+    // once via their representative and the result expands back exactly
+    // (KnnSpec pins bitwise equality with q_knn_lsh's operator on a
+    // duplicated corpus) — the production shape for duplicate-heavy
+    // corpora, where plain LSH candidate counts grow quadratically in
+    // the duplication factor. rows-only for the same xxhash64 reason.
+    Q.noOracle("q_knn_lsh_dedup") { (s, d) =>
+      Vectors.knnLshDeduped(Tables.embeddings(s, d), k = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // B21c — IVF-style cell-probed search (label column as the coarse
     // quantizer cell; exact-decimal centroids). Oracle-free: spec-pinned.
     Q.noOracle("q_knn_ivf") { (s, d) =>

@@ -58,6 +58,36 @@ class KnnSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("dedup-before-index knn equals plain lsh knn exactly on a duplicated corpus") {
+    // plant exact duplicates: 3 bitwise copies of every vector under
+    // shifted ids — the adversarial shape where plain LSH candidate
+    // counts grow quadratically (identical vectors share every bucket)
+    val dup = (0 until 3).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    val plain = Vectors.knnLsh(dup, k = 5)
+      .orderBy("id_a", "id_b").collect()
+    val deduped = Vectors.knnLshDeduped(dup, k = 5)
+      .orderBy("id_a", "id_b").collect()
+    // bitwise equality: same pairs, same cosines, same tie order — the
+    // operator is an optimization, not an approximation
+    assert(plain.length == deduped.length,
+      s"row counts differ: ${plain.length} vs ${deduped.length}")
+    plain.zip(deduped).foreach { case (p, q) => assert(p == q, s"$p != $q") }
+    // every probe id has neighbors (its own duplicates at cosine ~1 exist)
+    assert(deduped.map(_.getLong(0)).distinct.length == dup.count())
+  }
+
+  test("dedup-before-index knn equals plain lsh knn on the duplicate-free corpus") {
+    // singleton groups: the rep set IS the corpus, expansion is identity
+    val plain = Vectors.knnLsh(emb, k = 5).orderBy("id_a", "id_b").collect()
+    val deduped = Vectors.knnLshDeduped(emb, k = 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(plain.length == deduped.length)
+    plain.zip(deduped).foreach { case (p, q) => assert(p == q, s"$p != $q") }
+  }
+
   test("ivf with nprobe = all cells equals brute force exactly") {
     val nCells = emb.select("label").distinct().count().toInt
     val ivfAll = Vectors.knnIvf(emb, 0L, 10, nprobe = nCells)

@@ -59,6 +59,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_knn_cosine" -> 1,
     "q_knn_ivf" -> 6,
     "q_knn_lsh" -> 6,
+    // dedup-before-index: rep-level bucket join + group ranking window +
+    // two capped expansion joins + member-level window; the dedup
+    // groupBy itself hides behind the lazy localCheckpoint boundary
+    "q_knn_lsh_dedup" -> 9,
     "q_map_funcs" -> 1,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
