@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * Divergences from the reference, all documented per SURVEY.md §7.4:
   *  - JS `undefined` vs `null`: parquet can't express absent-vs-null, so
   *    "copy if present" (`task.ts:116-120`) becomes "copy if non-null".
-  *  - `metadata.ico`/`metadata.icon` (`task.ts:121`) reads a field the Output
-  *    schema never declares — dead code for schema-valid inputs; not modeled.
+  *  - `metadata.ico`/`metadata.icon` (`task.ts:121`) reads fields the Output
+  *    schema never declares — dead code for schema-valid inputs, so the
+  *    flagship (which runs on decoded, schema-valid columns) never fires
+  *    it; the behavior itself IS modeled by [[icoIconQuirk]] over the raw
+  *    wire JSON, where key presence is still observable.
   *  - `delete metadata['marker-color']` (`task.ts:134`) becomes nullify.
   *  - JS falsy semantics (`''` is falsy: `task.ts:114,132,144`) are encoded
   *    explicitly as `isNull || === ""` checks.
@@ -161,6 +164,31 @@ object CalTopo {
           col("properties.metadata")
             .withField("marker_color",
               when(fire, lit(null).cast("string")).otherwise(mc))))
+  }
+
+  /** The `ico`/`icon` quirk (`task.ts:121`): `if (metadata.ico !==
+    * undefined) feat.properties.icon = String(metadata.icon)` — gated on
+    * the PRESENCE of the `ico` key (a present-but-null `ico` still fires:
+    * JS `null !== undefined`), and the value is JS `String()` coercion of
+    * `icon`, which may itself be absent (`String(undefined)` =
+    * `"undefined"`) or null (`String(null)` = `"null"`).
+    *
+    * Neither key exists in the reference's TypeBox schema, so the typed
+    * flagship columns cannot carry the distinction — but the RAW wire
+    * JSON can: a map-typed decode preserves key presence
+    * (`map_contains_key`), which absent==null typed columns do not (see
+    * the divergence note above). Returns the `icon` output column (null
+    * when the quirk does not fire); plugs in alongside
+    * [[enrichProperties]] wherever the raw properties JSON rides with the
+    * row (e.g. straight off [[graft.sources.GeoJsonSource]]'s
+    * `properties_json`).
+    */
+  def icoIconQuirk(rawProps: Column): Column = {
+    val m = from_json(rawProps, "map<string,string>", Map.empty[String, String])
+    when(map_contains_key(m, "ico"),
+      when(!map_contains_key(m, "icon"), lit("undefined")) // String(undefined)
+        .when(element_at(m, "icon").isNull, lit("null"))   // String(null)
+        .otherwise(element_at(m, "icon")))                 // String(<string>)
   }
 
   /** A13 — folder→path broadcast join (`task.ts:142-152`): LEFT join of
