@@ -55,8 +55,14 @@ object TextQueries {
         lead("w", 1).over(seq5).as("w1"), lead("w", 2).over(seq5).as("w2"),
         lead("w", 3).over(seq5).as("w3"), lead("w", 4).over(seq5).as("w4"))
       .filter(col("w4").isNotNull)
+      // the gram travels as its 64-bit hash, never as a 5-word string:
+      // consumers only DISTINCT and equi-join on it, and xxhash64 is
+      // injective-in-practice (same discipline as Dedup.shingleHashRows),
+      // so shared-gram counts are identical while shuffle bytes shrink
+      // ~5x (8-byte longs vs ~40-byte strings) — the 100 TB shape the
+      // contamination scaladoc promised
       .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+        xxhash64(col("w"), col("w1"), col("w2"), col("w3"),
           col("w4")).as("g"))
       .localCheckpoint(false)
   }

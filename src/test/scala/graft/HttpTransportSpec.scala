@@ -140,6 +140,40 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSv2 sink over HTTP: epoch-scoped documents POST at micro-batch commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val posted = scala.collection.concurrent.TrieMap.empty[String, String]
+    withServer("/stream" -> { ex =>
+      posted.put(ex.getRequestURI.getPath,
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, Array.emptyByteArray)
+    }) { base =>
+      val spool = java.nio.file.Files.createTempDirectory("graft-http-stream-spool")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-http-stream-ckpt")
+      val q = graft.streaming.StreamRunner.eventsStream(spark, sfDir)
+        .select(to_json(struct(col("event_id"), col("user_id"))).as("feature"))
+        .writeStream
+        .format("graft.sources.FeatureCollectionSink")
+        .option("path", s"$base/stream").option("prefix", "ev")
+        .option("spoolDir", spool.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // names are epoch-scoped, so a replayed epoch re-POSTs its own
+      // names — the receiver's key for exactly-once
+      assert(posted.nonEmpty &&
+        posted.keys.forall(_.matches("/stream/ev-epoch\\d+-\\d{5}\\.json")),
+        posted.keys.mkString(","))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val total = posted.values
+        .map(b => mapper.readTree(b).path("features").size()).sum
+      assert(total == graft.sources.Tables.events(spark, sfDir).count())
+      // every delivered temp was swept from the spool
+      assert(spool.toFile.listFiles().isEmpty)
+    }
+  }
+
   test("DSv2 sink over HTTP: a rejecting receiver fails the job, nothing half-delivered silently") {
     import spark.implicits._
     val posts = new AtomicInteger(0)
