@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   *     symmetric form lo·(k+1−r) + hi·(r−k) matches DuckDB/Spark
   *     percentile bitwise (memory: graft-determinism-rules).
   *
+  * EXECUTION CONTRACT: like [[Dedup.clusters]], calling this runs the
+  * sketch/probe/bisection jobs EAGERLY (the driver loop must execute to
+  * know the answer) — the returned DataFrame is the small per-group
+  * result, already materialized behind checkpoints. Plan-only consumers
+  * (.explain, plan audits) therefore pay the computation; budget tests
+  * pin only the visible post-operator plan (ShuffleBudgetSpec notes
+  * this).
+  *
   * Scale notes: passes 1–2 scan the full data (two-phase aggs, one
   * shuffle each on the group key). The bisection loop scans only the
   * checkpointed in-bracket SUBSET (Σ cnt per target ≈ T·2δn rows — at
@@ -66,6 +74,13 @@ object Percentiles {
     * @param accuracy  percentile_approx accuracy (rank error ≤ n/accuracy)
     * @param sliceCap  max values any single aggregation buffer may hold
     * @param smallFloor groups below this collect whole (must be ≤ sliceCap)
+    * @param discrete  rank semantics: false = continuous interpolation at
+    *                  r=(n-1)·p (SQL percentile()); true = the DISCRETE
+    *                  element at 1-based rank ceil(p·n) (quantile_disc /
+    *                  equi-depth bin boundaries). Discrete mode just pins
+    *                  r to the exact integer ceil(p·n)-1 — the
+    *                  interpolation weights become (1, 0) and the whole
+    *                  bracket/bisection machinery is reused unchanged.
     */
   def exact(
       df: DataFrame,
@@ -76,7 +91,8 @@ object Percentiles {
       accuracy: Int = 10000,
       sliceCap: Long = 1000000L,
       smallFloor: Long = 1000L,
-      maxRounds: Int = 256): DataFrame = {
+      maxRounds: Int = 256,
+      discrete: Boolean = false): DataFrame = {
     require(targets.nonEmpty && targets.forall { case (_, p) => p >= 0 && p <= 1 })
     require(smallFloor <= sliceCap, "smallFloor must not exceed sliceCap")
     val spark = df.sparkSession
@@ -114,8 +130,13 @@ object Percentiles {
         when(small, col("vmax"))
           .otherwise(element_at(col("bs"), col("tt.ti") + 1)).as("hi"))
       // 1-based target ranks for symmetric interpolation: r = (n-1)·p,
-      // k = floor(r); need elements at ranks k+1 and (k+2 capped at n)
-      .withColumn("r", (col("n") - 1) * col("p"))
+      // k = floor(r); need elements at ranks k+1 and (k+2 capped at n).
+      // Discrete mode: r is the exact integer ceil(p·n)-1 (clamped ≥0),
+      // so rk = ceil(p·n) and the hi-rank element's weight is exactly 0.
+      .withColumn("r",
+        if (discrete)
+          greatest(ceil(col("p") * col("n")) - 1, lit(0L)).cast("double")
+        else (col("n") - 1) * col("p"))
       .withColumn("rk", (floor(col("r")) + 1).cast("long"))
       .withColumn("rkhi", least(col("rk") + 1, col("n")))
 

@@ -64,16 +64,6 @@ object Vectors {
   def lshBuckets(emb: Column, bits: Int, tables: Int): Column =
     VectorExprs.lshBuckets(emb, bits, tables)
 
-  /** Approximate all-pairs top-k via multi-table sign-LSH: `tables`
-    * independent hash tables of `bits` bits each; candidates are pairs
-    * sharing a bucket in ANY table (union across tables, deduplicated
-    * before the cosine is computed), ranked per probe by a Window
-    * row_number. A single table has near-zero recall once buckets get
-    * sparse — multiple smaller tables trade candidate count for recall
-    * (KnnSpec measures it against all-pairs ground truth). The shuffle key
-    * is (table, bucket); candidate generation stays an equi-join, never
-    * all-pairs.
-    */
   /** All scored candidate pairs (both directions, deduplicated across
     * tables) — the shared core of [[knnLsh]] and [[knnLshDeduped]].
     *
@@ -130,7 +120,17 @@ object Vectors {
       .drop("rn")
   }
 
-  /** NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
+  /** Approximate all-pairs top-k via multi-table sign-LSH: `tables`
+    * independent hash tables of `bits` bits each; candidates are pairs
+    * sharing a bucket in ANY table (union across tables, deduplicated
+    * before the cosine is computed), ranked per probe by a Window
+    * row_number. A single table has near-zero recall once buckets get
+    * sparse — multiple smaller tables trade candidate count for recall
+    * (KnnSpec measures it against all-pairs ground truth). The shuffle key
+    * is (table, bucket); candidate generation stays an equi-join, never
+    * all-pairs.
+    *
+    * NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
     * in the duplication factor (exact copies share every bucket) —
     * measured on the 10x-replicated sf1 set. The production mitigation
     * is [[knnLshDeduped]] (exact-dedup of identical vectors before

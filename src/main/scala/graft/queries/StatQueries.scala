@@ -205,21 +205,20 @@ GROUP BY event_type, decile ORDER BY event_type, decile""") { (s, d) =>
     // The 100 TB sibling of q_ntile (VERDICT r3 item 2): equi-depth decile
     // binning WITHOUT the per-group total-order window. Boundaries are the
     // EXACT discrete quantiles (value at 1-based rank ceil(p·n), ties by
-    // value so rank→value is well-defined), computed distributed with the
-    // q_percentile sketch-bracket technique: percentile_approx brackets
-    // each target rank (±0.002·n, 20× the sketch's rank error), a second
-    // map-combined pass counts exact ranks below each bracket and sorts
-    // only the ~0.004·n bracket slice, and the boundary is the slice
-    // element at the target rank. Groups with n below SmallGroupFloor
-    // collect whole (bounded by the floor) — the ±δ·n bracket is narrower
-    // than one element there (ADVICE r3: δ·n < 1 ⇒ loud NULL). Rows then
-    // bin by boundary comparison (decile = 1 + #boundaries below value;
-    // tie rule: a row ON a boundary belongs to the LOWER decile), so the
-    // per-row pass is a broadcast join + codegen'd comparisons — no
-    // window, no serialization, bins with zero rows (tie pile-ups) are
-    // simply absent in both engines. A bracket miss surfaces as a NULL
-    // decile (comparison against NULL propagates) and a row-count
-    // mismatch — loud, never silently misbinned.
+    // value so rank→value is well-defined), computed by the shared
+    // bounded-memory percentile operator in discrete-rank mode
+    // ([[graft.operators.Percentiles.exact]]): sketch brackets, exact
+    // rank counts, bisection refinement whenever a bracket slice would
+    // exceed its buffer cap — so no aggregation buffer grows with group
+    // size, at ANY n. (The first version inlined a sketch+collect_list
+    // slice instead, re-creating the very group-size cliff the operator
+    // was built to remove — r4 review.) Rows then bin by boundary
+    // comparison (decile = 1 + #boundaries below value; tie rule: a row
+    // ON a boundary belongs to the LOWER decile), so the per-row pass is
+    // a broadcast join + codegen'd comparisons — no window, no
+    // serialization, bins with zero rows (tie pile-ups) are simply
+    // absent in both engines. A bracket miss fails loudly inside the
+    // operator — never a silent misbin.
     Q("q_ntile_approx", {
       val bounds = (1 to 9).map(i =>
         s"    MAX(CASE WHEN rn = CAST(ceil(0.${i} * n) AS BIGINT) THEN value END) AS bnd$i")
@@ -243,33 +242,13 @@ SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n,
 FROM d GROUP BY event_type, decile ORDER BY event_type, decile"""
     }) { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-      val delta = 0.002
-      val ps = (1 to 9).map(i => i -> i / 10.0)
-      val brCols = count(lit(1)).as("n") +: ps.flatMap { case (i, p) => Seq(
-        percentile_approx(col("value"), lit(p - delta), lit(10000)).as(s"a$i"),
-        percentile_approx(col("value"), lit(p + delta), lit(10000)).as(s"b$i"))
-      }
-      val br = ev.groupBy(col("event_type")).agg(brCols.head, brCols.tail: _*)
-      val small = col("n") < lit(SmallGroupFloor)
-      val sliceCols = ps.flatMap { case (i, _) => Seq(
-        sum(when(col("value") < col(s"a$i"), 1L).otherwise(0L)).as(s"ra$i"),
-        sort_array(collect_list(when(
-          small || col("value").between(col(s"a$i"), col(s"b$i")),
-          col("value")))).as(s"w$i"))
-      }
-      val agg = ev.join(broadcast(br), "event_type")
-        .groupBy(col("event_type"), col("n"))
-        .agg(sliceCols.head, sliceCols.tail: _*)
-      val boundCols = ps.map { case (i, p) =>
-        // small groups collected WHOLE: their slice starts at rank 1, so
-        // the index is the absolute rank (no below-bracket offset)
-        val idx = ceil(lit(p) * col("n")) -
-          when(small, lit(0L)).otherwise(col(s"ra$i"))
-        when(idx >= 1, try_element_at(col(s"w$i"), idx.cast("int"))).as(s"bnd$i")
-      }
-      val bounds = agg.select(col("event_type") +: boundCols: _*)
+      val bounds = graft.operators.Percentiles.exact(
+          ev, col("event_type"), col("value"),
+          targets = (1 to 9).map(i => (s"bnd$i", i / 10.0)),
+          smallFloor = SmallGroupFloor, discrete = true)
+        .withColumnRenamed("g", "event_type")
       val decile = (lit(1) +
-        ps.map { case (i, _) => (col("value") > col(s"bnd$i")).cast("int") }
+        (1 to 9).map(i => (col("value") > col(s"bnd$i")).cast("int"))
           .reduce(_ + _)).cast("int")
       ev.join(broadcast(bounds), "event_type")
         .select(col("event_type"), col("value"), decile.as("decile"))

@@ -54,7 +54,9 @@ class FeatureCollectionSink extends TableProvider {
       Option(properties.get("spoolDir")).getOrElse(
         if (DocTransport.isHttp(path))
           sys.props("java.io.tmpdir") + "/graft-fc-spool"
-        else path))
+        else path),
+      Option(properties.get("deliver.maxAttempts")).map(_.toInt).getOrElse(3),
+      Option(properties.get("deliver.backoffMs")).map(_.toLong).getOrElse(100L))
   }
 }
 
@@ -74,7 +76,8 @@ object FeatureCollectionSink {
       .mode("append").save()
 }
 
-class FcSinkTable(dir: String, prefix: String, spool: String)
+class FcSinkTable(dir: String, prefix: String, spool: String,
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
     extends Table with SupportsWrite {
   override def name(): String = s"featurecollection-sink($dir)"
   override def schema(): StructType = FeatureCollectionSink.inputSchema
@@ -87,12 +90,14 @@ class FcSinkTable(dir: String, prefix: String, spool: String)
         s"got ${info.schema().simpleString} — use FeatureCollectionSink.write")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new FcBatchWrite(dir, prefix, spool)
+        override def toBatch: BatchWrite =
+          new FcBatchWrite(dir, prefix, spool, deliverMaxAttempts, deliverBackoffMs)
         // streaming epochs scope the document names by micro-batch id, so
         // successive epochs never collide and a replayed epoch (failure
         // recovery) overwrites its own documents idempotently
         override def toStreaming: streaming.StreamingWrite =
-          new FcStreamingWrite(dir, prefix, spool)
+          new FcStreamingWrite(dir, prefix, spool,
+            deliverMaxAttempts, deliverBackoffMs)
       }
     }
   }
@@ -102,24 +107,28 @@ class FcSinkTable(dir: String, prefix: String, spool: String)
   * exactly-once delivery per micro-batch under replay (an epoch that
   * re-runs renames onto the same names).
   */
-class FcStreamingWrite(dir: String, prefix: String, spool: String)
+class FcStreamingWrite(dir: String, prefix: String, spool: String,
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
     extends streaming.StreamingWrite {
+  private def batch = new FcBatchWrite(dir, prefix, spool,
+    deliverMaxAttempts, deliverBackoffMs)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     new FcStreamingWriterFactory(spool, prefix)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    new FcBatchWrite(dir, prefix, spool).commit(messages)
+    batch.commit(messages)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    new FcBatchWrite(dir, prefix, spool).abort(messages)
+    batch.abort(messages)
 }
 
 /** Commit message: (tempPath, finalName) of one task's document. */
 case class FcCommit(tempPath: String, finalName: String)
   extends WriterCommitMessage
 
-class FcBatchWrite(dir: String, prefix: String, spool: String)
+class FcBatchWrite(dir: String, prefix: String, spool: String,
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FcWriterFactory(spool, prefix)
@@ -148,7 +157,9 @@ class FcBatchWrite(dir: String, prefix: String, spool: String)
     messages.foreach {
       case FcCommit(null, _) => () // empty partition: nothing written
       case FcCommit(tmp, fin) =>
-        Fetch.withRetry(maxAttempts = 3, backoffMs = 100L) {
+        // retry policy rides the writer options (`deliver.maxAttempts` /
+        // `deliver.backoffMs`), mirroring the GET side's `fetch.*` knobs
+        Fetch.withRetry(deliverMaxAttempts, deliverBackoffMs) {
           HttpTransport.deliver(s"$base/$fin", Paths.get(tmp))
         }
         Files.deleteIfExists(Paths.get(tmp))
@@ -188,7 +199,6 @@ class FcBatchWrite(dir: String, prefix: String, spool: String)
           delivered += ((target, aside))
         case other => throw new IllegalStateException(s"unexpected $other")
       }
-      delivered.foreach { case (_, aside) => aside.foreach(Files.deleteIfExists) }
     } catch {
       case e: Throwable =>
         delivered.reverse.foreach {
@@ -198,6 +208,18 @@ class FcBatchWrite(dir: String, prefix: String, spool: String)
           case (target, None) => Files.deleteIfExists(target)
         }
         throw e
+    }
+    // Delivery is COMPLETE once every rename above succeeded — discarding
+    // the set-aside copies happens outside the rollback scope and
+    // tolerates per-file failure. (Inside the try, a cleanup IOException
+    // after full delivery would trigger rollback, un-delivering a
+    // committed set — and the rollback itself would then crash on asides
+    // already deleted. Worst case now: a stray `.replaced-*.tmp` file.)
+    delivered.foreach { case (_, aside) =>
+      aside.foreach { a =>
+        try Files.deleteIfExists(a)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 

@@ -81,31 +81,64 @@ object HttpStatusException {
 object HttpTransport extends DocTransport {
   // One client per executor JVM: HttpClient pools connections internally,
   // and building one per task would defeat keep-alive. @transient — the
-  // singleton re-creates it lazily after deserialization on executors.
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+  // singleton re-creates them lazily after deserialization on executors.
+  @transient private lazy val getClient: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
+  // POSTs must NEVER follow redirects: the JDK client re-issues a
+  // 301/302/303-redirected POST as a BODYLESS GET and reports the final
+  // 2xx — deliver() would "succeed" while the document was never
+  // delivered, silently breaking the at-least-once contract. A 3xx on
+  // submit is receiver misconfiguration and aborts loudly (Permanent).
+  @transient private lazy val postClient: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NEVER)
+    .build()
+
+  private val exchangeTimeout = Duration.ofSeconds(60)
+
+  /** Complete the WHOLE exchange — headers and body — within the
+    * deadline. `HttpRequest.timeout` only bounds response-header arrival,
+    * so a server stalling mid-body would hang the Spark task forever with
+    * no exception for [[Fetch.withRetry]] to classify; the bounded
+    * future.get + cancel closes that hole. Timeout => IOException =>
+    * transient (retried in place, then the task aborts).
+    */
+  private def exchange[A](client: HttpClient, req: HttpRequest,
+      handler: HttpResponse.BodyHandler[A]): HttpResponse[A] = {
+    val fut = client.sendAsync(req, handler)
+    try fut.get(exchangeTimeout.toMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        fut.cancel(true)
+        throw new IOException(
+          s"HTTP exchange exceeded ${exchangeTimeout.getSeconds}s: ${req.uri()}", e)
+      case e: java.util.concurrent.ExecutionException =>
+        e.getCause match {
+          case io: IOException => throw io
+          case t               => throw new IOException(t)
+        }
+    }
+  }
 
   override def open(target: String): InputStream = {
-    val req = HttpRequest.newBuilder(URI.create(target))
-      .timeout(Duration.ofSeconds(60)).GET().build()
-    // connect/read failures throw IOException subclasses => transient
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
-    if (resp.statusCode() / 100 == 2) resp.body()
-    else {
-      resp.body().close()
-      HttpStatusException.raise(resp.statusCode(), target)
-    }
+    val req = HttpRequest.newBuilder(URI.create(target)).GET().build()
+    // buffer the document (the reference buffers the whole response too,
+    // task.ts:70-88) so the deadline above covers every byte of it
+    val resp = exchange(getClient, req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 == 2)
+      new java.io.ByteArrayInputStream(resp.body())
+    else HttpStatusException.raise(resp.statusCode(), target)
   }
 
   override def deliver(target: String, body: Path): Unit = {
     val req = HttpRequest.newBuilder(URI.create(target))
-      .timeout(Duration.ofSeconds(60))
       .header("Content-Type", "application/geo+json")
       .POST(HttpRequest.BodyPublishers.ofFile(body))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
+    val resp = exchange(postClient, req, HttpResponse.BodyHandlers.discarding())
     if (resp.statusCode() / 100 != 2)
       HttpStatusException.raise(resp.statusCode(), target)
   }

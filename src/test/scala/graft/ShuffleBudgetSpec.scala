@@ -71,7 +71,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
     "q_ntile" -> 2,
-    "q_ntile_approx" -> 6, // bracket-sketch agg + rank/slice agg + their two broadcasts + final bin agg + output sort; no per-group window anywhere
+    // boundaries via Percentiles.exact(discrete): slice agg + rank-pivot
+    // agg + broadcasts of the tiny bounds/state frames + final bin agg +
+    // output sort; the operator's sketch/probe passes hide behind its
+    // internal checkpoints (data-scale shuffles audited in PercentileSpec
+    // shapes, not here); no per-group window anywhere
+    "q_ntile_approx" -> 8,
 
     "q_pack_sequences" -> 2,
     "q_percentile" -> 6, // Percentiles.exact final plan: slice agg on the data (the one data-scale shuffle) + two broadcasts + state⋈slices SMJ + pivot agg + output sort — state/slices frames are group-count-sized, not data-sized; sketch+probe passes ran eagerly at build (checkpointed)
