@@ -354,6 +354,35 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** [[survivors]] with EXACT dedup run first — the documented mitigation
+    * for duplicate-heavy corpora made into an operator (the minhash
+    * scaladoc above has always said "run exact dedup first"; this is that
+    * composition, result-pinned). Identical texts are collapsed to their
+    * min-id representative BEFORE shingling, so the signature pass sees
+    * each distinct text once and LSH buckets hold one member per distinct
+    * near-dup text instead of one per copy — on a corpus where every doc
+    * has d exact copies, in-bucket candidate pairs shrink ~d² and the
+    * whole pipeline returns to unique-corpus cost.
+    *
+    * RESULT-IDENTICAL to [[survivors]] whenever no bucket tripped the
+    * `maxBucket` cap (DedupSpec pins equality on a replicated corpus):
+    * a representative is its identical-group's min id, identical texts
+    * yield identical shingle sets (est. Jaccard 1 ≥ any threshold), so
+    * plain survivors puts a group's members in their rep's cluster and
+    * keeps only the cluster-min id — which IS the min rep id this
+    * composition keeps. Where the corpora differ is exactly the cap:
+    * collapsed buckets stay under it where the duplicated corpus
+    * overflowed and silently DROPPED pairs — so exact-first recall is
+    * strictly ≥ plain, never below.
+    */
+  def survivorsExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val reps = docs.select(col("id"), col("text"))
+      .groupBy(col("text")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("text"))
+    val keepIds = survivors(reps, threshold).select(col("id"))
+    docs.join(keepIds, Seq("id"), "left_semi")
+  }
+
   /** Embedding-cosine near-dup pairs within a vec-id neighbor window (the
     * SQL-expressible blocking stand-in; the production blocking is the LSH
     * bucket join, [[Vectors.knnLsh]]). `emb` must have (vec_id, embedding);

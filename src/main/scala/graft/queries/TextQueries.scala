@@ -570,6 +570,21 @@ ORDER BY d.doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // The same pipeline with exact dedup collapsed FIRST — the
+    // duplicate-heavy-corpus shape ([[graft.operators.Dedup
+    // .survivorsExactFirst]]): the signature pass sees each distinct
+    // text once, so a d-times-replicated corpus costs ~d² less in
+    // in-bucket pairs. DedupSpec pins result-equality with
+    // q_dedup_pipeline's operator on a replicated corpus.
+    Q.noOracle("q_dedup_pipeline_exact_first") { (s, d) =>
+      Dedup.survivorsExactFirst(
+          Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("text"), col("lang")),
+          threshold = 0.5)
+        .select(col("id").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // B16' — the higher-order-function family surfaced as a query:
     // transform/filter/aggregate/exists/forall over the token array.
     // All outputs are exact-integer or boolean scalars (HOF folds over

@@ -116,6 +116,28 @@ class DedupSpec extends SparkSpec {
     assert(!sv.contains(2L) && !sv.contains(3L))
   }
 
+  test("exact-first survivors equal plain survivors on a replicated corpus") {
+    // 3 bitwise copies of every doc under shifted ids — the
+    // duplicate-heavy shape where plain survivors pays quadratic
+    // in-bucket pairs; result must be IDENTICAL (no bucket trips the
+    // maxBucket cap on this corpus, the only divergence the scaladoc
+    // permits — and there exact-first recall would be strictly higher)
+    val dup = (0 until 3).map(i =>
+        corpus.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
+      .reduce(_ unionByName _)
+    val plain = Dedup.survivors(dup).select("id").collect()
+      .map(_.getLong(0)).sorted
+    val fast = Dedup.survivorsExactFirst(dup).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(plain.sameElements(fast),
+      s"plain=${plain.mkString(",")} fast=${fast.mkString(",")}")
+    // and the composition still behaves like survivors on the base corpus
+    val base = Dedup.survivorsExactFirst(corpus).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(base.contains(1L) && base.contains(4L) && base.contains(5L))
+    assert(!base.contains(2L) && !base.contains(3L))
+  }
+
   test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
     import spark.implicits._
     // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;

@@ -25,7 +25,8 @@ object PlanDump {
     val names = Seq("flagship", "q_sql_tpch_q5", "q_sql_tpch_q18", "q_dedup_minhash",
       "q_knn_lsh", "q_percentile", "q_text_repetition", "q_pack_sequences",
       "q_stream_join", "q_event_retention", "q_text_tfidf", "q_dedup_clusters",
-      "q_text_vocab", "q_ntile_approx")
+      "q_text_vocab", "q_ntile_approx", "q_knn_lsh_dedup",
+      "q_dedup_pipeline_exact_first")
     val sb = new StringBuilder
     sb.append(s"# PLANS — headline physical plans ($sfDir, local[$cpus], " +
       "shuffle.partitions=" + cpus + " — the bench config; key operator lines only)\n\n")

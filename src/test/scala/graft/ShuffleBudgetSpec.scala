@@ -34,6 +34,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dedup_minhash" -> 4,
     "q_dedup_ngram_jaccard" -> 2,
     "q_dedup_pipeline" -> 3,
+    // exact-first: + the text-groupBy collapse and the final left-semi
+    // keep join (CC internals hide behind checkpoints, as in pipeline)
+    "q_dedup_pipeline_exact_first" -> 5,
     "q_dedup_simhash" -> 4,
     "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
