@@ -370,17 +370,26 @@ object Dedup {
     * yield identical shingle sets (est. Jaccard 1 ≥ any threshold), so
     * plain survivors puts a group's members in their rep's cluster and
     * keeps only the cluster-min id — which IS the min rep id this
-    * composition keeps. Where the corpora differ is exactly the cap:
-    * collapsed buckets stay under it where the duplicated corpus
-    * overflowed and silently DROPPED pairs — so exact-first recall is
-    * strictly ≥ plain, never below.
+    * composition keeps. DEGENERATE texts (null/whitespace-only) produce
+    * no shingles, so plain survivors can never pair them and they all
+    * pass through — collapsing them would wrongly keep one per identical
+    * group, so they bypass the collapse entirely (r4 review). Where the
+    * corpora may still differ is exactly the cap: collapsed buckets stay
+    * under it where the duplicated corpus overflowed and silently
+    * DROPPED pairs — so exact-first recall is strictly ≥ plain, never
+    * below.
     */
   def survivorsExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // shingle-less texts can never pair in plain survivors — they ALL
+    // survive there, so they must not be collapsed to a representative
+    val degenerate = trim(coalesce(col("text"), lit(""))) === ""
     val reps = docs.select(col("id"), col("text"))
+      .filter(!degenerate)
       .groupBy(col("text")).agg(min(col("id")).as("id"))
       .select(col("id"), col("text"))
     val keepIds = survivors(reps, threshold).select(col("id"))
-    docs.join(keepIds, Seq("id"), "left_semi")
+    docs.filter(!degenerate).join(keepIds, Seq("id"), "left_semi")
+      .unionByName(docs.filter(degenerate))
   }
 
   /** Embedding-cosine near-dup pairs within a vec-id neighbor window (the

@@ -225,23 +225,30 @@ GROUP BY event_type, decile ORDER BY event_type, decile""") { (s, d) =>
         .mkString(",\n")
       val binSum = (1 to 9).map(i => s"CAST(e.value > b.bnd$i AS INT)")
         .mkString(" + ")
-      s"""WITH ranked AS (
+      // NULL values are EXPLICITLY excluded on both sides: percentile
+      // semantics ignore them (Percentiles.exact filters v.isNotNull),
+      // so the oracle's n and ranks must count the same row set — an
+      // implicit COUNT(*) would diverge the day events grows null values
+      // (r4 review; today's synthetic data has none either way)
+      s"""WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+ranked AS (
   SELECT event_type, value,
     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
     COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
+  FROM nn),
 b AS (
   SELECT event_type,
 $bounds
   FROM ranked GROUP BY event_type),
 d AS (
   SELECT e.event_type, 1 + $binSum AS decile, e.value
-  FROM events e JOIN b ON e.event_type = b.event_type)
+  FROM nn e JOIN b ON e.event_type = b.event_type)
 SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n,
   MIN(value) AS min_value, MAX(value) AS max_value
 FROM d GROUP BY event_type, decile ORDER BY event_type, decile"""
     }) { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
       val bounds = graft.operators.Percentiles.exact(
           ev, col("event_type"), col("value"),
           targets = (1 to 9).map(i => (s"bnd$i", i / 10.0)),

@@ -96,7 +96,12 @@ object HttpTransport extends DocTransport {
     .followRedirects(HttpClient.Redirect.NEVER)
     .build()
 
-  private val exchangeTimeout = Duration.ofSeconds(60)
+  // Whole-exchange deadline; tunable (JVM-wide) for legitimately slow or
+  // large transfers — a hardcoded 60 s would make a ~100 s document fetch
+  // permanently unfetchable (every in-place retry AND Spark task retry
+  // hits the same deterministic timeout).
+  private def exchangeTimeout: Duration = Duration.ofSeconds(
+    sys.props.get("graft.http.exchangeTimeoutSec").map(_.toLong).getOrElse(60L))
 
   /** Complete the WHOLE exchange — headers and body — within the
     * deadline. `HttpRequest.timeout` only bounds response-header arrival,
@@ -115,6 +120,14 @@ object HttpTransport extends DocTransport {
         fut.cancel(true)
         throw new IOException(
           s"HTTP exchange exceeded ${exchangeTimeout.getSeconds}s: ${req.uri()}", e)
+      case e: InterruptedException =>
+        // Spark task kill / speculation: cancel the in-flight exchange so
+        // the client's background threads stop downloading and release
+        // the pooled connection, then propagate the interrupt (permanent
+        // by Fetch's taxonomy — a killed task must not retry in place)
+        fut.cancel(true)
+        Thread.currentThread().interrupt()
+        throw e
       case e: java.util.concurrent.ExecutionException =>
         e.getCause match {
           case io: IOException => throw io
@@ -134,12 +147,27 @@ object HttpTransport extends DocTransport {
   }
 
   override def deliver(target: String, body: Path): Unit = {
-    val req = HttpRequest.newBuilder(URI.create(target))
-      .header("Content-Type", "application/geo+json")
-      .POST(HttpRequest.BodyPublishers.ofFile(body))
-      .build()
-    val resp = exchange(postClient, req, HttpResponse.BodyHandlers.discarding())
-    if (resp.statusCode() / 100 != 2)
-      HttpStatusException.raise(resp.statusCode(), target)
+    // Method-preserving redirects (307/308) are followed MANUALLY with the
+    // body re-sent — the JDK's Redirect.NORMAL would also "follow"
+    // 301/302/303 by re-issuing a bodyless GET (silent delivery loss), so
+    // the client follows nothing and this loop implements only the safe
+    // class. 301/302/303 on a submit abort loudly (Permanent).
+    var url = target
+    var hops = 0
+    while (true) {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/geo+json")
+        .POST(HttpRequest.BodyPublishers.ofFile(body))
+        .build()
+      val resp = exchange(postClient, req, HttpResponse.BodyHandlers.discarding())
+      val code = resp.statusCode()
+      if (code / 100 == 2) return
+      else if ((code == 307 || code == 308) && hops < 5) {
+        val loc = resp.headers().firstValue("Location")
+        if (!loc.isPresent) HttpStatusException.raise(code, url)
+        url = URI.create(url).resolve(loc.get()).toString
+        hops += 1
+      } else HttpStatusException.raise(code, url)
+    }
   }
 }

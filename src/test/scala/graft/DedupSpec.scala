@@ -122,8 +122,16 @@ class DedupSpec extends SparkSpec {
     // in-bucket pairs; result must be IDENTICAL (no bucket trips the
     // maxBucket cap on this corpus, the only divergence the scaladoc
     // permits — and there exact-first recall would be strictly higher)
+    import spark.implicits._
+    // include DEGENERATE texts (empty / whitespace-only / null): they
+    // yield no shingles, so plain survivors can never pair them and ALL
+    // copies must pass through — the collapse has to bypass them
+    // (r4 review finding)
+    val withDegenerate = corpus.unionByName(Seq(
+      (50L, ""), (51L, ""), (52L, "   "), (53L, "   "),
+      (54L, null.asInstanceOf[String])).toDF("id", "text"))
     val dup = (0 until 3).map(i =>
-        corpus.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
+        withDegenerate.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
       .reduce(_ unionByName _)
     val plain = Dedup.survivors(dup).select("id").collect()
       .map(_.getLong(0)).sorted

@@ -84,6 +84,22 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("GeoJson scan fans out over multiple HTTP endpoints, one fetch unit per partition") {
+    val doc2 = doc.replace("f1", "g1").replace("f2", "g2")
+    withServer(
+      "/map1" -> { ex => respond(ex, 200, doc.getBytes(StandardCharsets.UTF_8)) },
+      "/map2" -> { ex => respond(ex, 200, doc2.getBytes(StandardCharsets.UTF_8)) }
+    ) { base =>
+      val df = spark.read.format("graft.sources.GeoJsonSource")
+        .option("paths", s"""["$base/map1","$base/map2"]""")
+        .load()
+      // two live endpoints = two InputPartitions = two tasks
+      assert(df.rdd.getNumPartitions == 2)
+      val ids = df.select(col("id")).collect().map(_.getString(0)).sorted
+      assert(ids.sameElements(Array("f1", "f2", "g1", "g2")))
+    }
+  }
+
   test("GeoJson scan over HTTP: 404 aborts the task without retrying") {
     val hits = new AtomicInteger(0)
     withServer("/gone" -> { ex =>
@@ -171,6 +187,36 @@ class HttpTransportSpec extends SparkSpec {
       assert(total == graft.sources.Tables.events(spark, sfDir).count())
       // every delivered temp was swept from the spool
       assert(spool.toFile.listFiles().isEmpty)
+    }
+  }
+
+  test("deliver follows method-preserving 307/308 with the body; 301/302/303 abort loudly") {
+    val finalBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+    withServer(
+      "/moved308" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/final")
+        respond(ex, 308, Array.emptyByteArray)
+      },
+      "/moved301" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/final")
+        respond(ex, 301, Array.emptyByteArray)
+      },
+      "/final" -> { ex =>
+        assert(ex.getRequestMethod == "POST")
+        finalBody.set(new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8))
+        respond(ex, 200, Array.emptyByteArray)
+      }) { base =>
+      val doc = java.nio.file.Files.createTempFile("graft-redirect", ".json")
+      java.nio.file.Files.writeString(doc, """{"type":"FeatureCollection"}""")
+      // 308: POST re-issued WITH body at the redirect target
+      HttpTransport.deliver(s"$base/moved308", doc)
+      assert(finalBody.get() == """{"type":"FeatureCollection"}""")
+      // 301: the JDK would re-issue a bodyless GET — must abort instead
+      val e = intercept[HttpStatusException.Permanent] {
+        HttpTransport.deliver(s"$base/moved301", doc)
+      }
+      assert(e.status == 301)
     }
   }
 
