@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * grows by design (each doc gains 9 exact copies — buckets of 10, well
   * under the maxBucket=256 cap).
   *
-  * Usage: sbt "Test/runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/tmp/sf1 10"
+  * Usage: sbt "Test/runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/tmp/sf1 10 [step]"
+  * Chained decades shift by a step larger than the source's max key —
+  * e.g. sf1 -> sf10 with step 10^9 (keys are int64 throughout).
   */
 object ScaleGen {
-  private val STEP = 10000000L // > any sf0.1 key; 10 copies stay < 2^31
+  private val DefaultStep = 10000000L // > any sf0.1 key
 
   // key columns to shift per table; absent tables copy once, unshifted
   private val shifts: Map[String, Seq[String]] = Map(
@@ -32,10 +34,11 @@ object ScaleGen {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private def scaled(df: DataFrame, copies: Int, keys: Seq[String]): DataFrame =
+  private def scaled(df: DataFrame, copies: Int, keys: Seq[String],
+      step: Long): DataFrame =
     (0 until copies).map { i =>
       keys.foldLeft(df) { (d, c) =>
-        d.withColumn(c, (col(c) + lit(i * STEP)).cast(df.schema(c).dataType))
+        d.withColumn(c, (col(c) + lit(i * step)).cast(df.schema(c).dataType))
       }
     }.reduce(_ unionByName _)
 
@@ -43,6 +46,7 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val step = if (args.length > 3) args(3).toLong else DefaultStep
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("graft-scalegen")
@@ -57,7 +61,7 @@ object ScaleGen {
     tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val big = shifts.get(t) match {
-        case Some(keys) => scaled(df, copies, keys)
+        case Some(keys) => scaled(df, copies, keys, step)
         case None       => df
       }
       big.write.mode("overwrite").parquet(s"$out/$t.parquet")
