@@ -194,6 +194,66 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Count of pairwise-equal slots between two array<bigint> columns — the
+    * MinHash signature agreement kernel. The HOF formulation
+    * (`aggregate(zip_with(a, b, eq), 0, +)`) pays one interpreted lambda
+    * dispatch per slot per candidate PAIR plus a materialized 64-slot
+    * intermediate array; at high duplication factors the pair count
+    * explodes and that fold dominated the dedup family's cost. This is a
+    * tight primitive loop in both eval modes (it runs inside the
+    * pair-emission HOF lambda, so interpreted eval matters as much as
+    * codegen). Result is identical to the fold: slots compared up to the
+    * shorter length (signatures are fixed-width in practice).
+    */
+  case class EqualSlots(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"equal_slots expects array<bigint> inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (x.getLong(i) == y.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): EqualSlots =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** ±1 hyperplane component for (plane, dim): murmur64-finalized mix of
     * the pair, lowest bit decides the sign. Public: called from generated
     * code.
@@ -212,6 +272,9 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def equalSlots(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      EqualSlots(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def l2norm(a: Column): Column =
     GraftSqlBridge.column(L2Norm(GraftSqlBridge.expression(a)))
 }

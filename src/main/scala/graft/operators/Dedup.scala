@@ -206,11 +206,14 @@ object Dedup {
         .groupBy(col("bk"))
         .agg(collect_list(struct(col("id"), col("mh"))).as("members")),
       st, maxBucket)
+    // signature agreement via the native EqualSlots kernel — the HOF
+    // zip_with/aggregate fold paid ~64 interpreted lambda dispatches plus
+    // an intermediate array PER CANDIDATE PAIR, which dominates once
+    // duplication inflates pair counts (same count, same cast, bitwise-
+    // equal est_jaccard)
     def estJaccard(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a.getField("mh"), b.getField("mh"),
-          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-        lit(0), (acc, v) => acc + v).cast("double") / numPerm
+      graft.functions.VectorExprs.equalSlots(a.getField("mh"), b.getField("mh"))
+        .cast("double") / numPerm
     buckets.select(explode(flatten(
         transform(m, (a, i) =>
           transform(slice(m, i + 2, size(m)), b =>
