@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 import graft.functions.WeightedAvg
 
 /** SURVEY.md §2 Part B rows B1–B15 + B24 — the relational core, over the
@@ -130,6 +130,28 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
       Tables.orders(s, d).hint("merge")
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // B6' — the SAME join co-located via bucketing ([[graft.sources
+    // .Layout.bucketed]]): both sides materialized bucketed+sorted on the
+    // join key, so the sort-merge join runs with ZERO Exchange on either
+    // side (BucketingSpec pins it on this query's plan) — the only
+    // shuffles left in the whole query are the tiny post-join groupBy and
+    // the output sort. Same oracle SQL as q_join_shuffle: identical
+    // results, two fewer data-scale shuffles. At 100 TB this is the
+    // repeated-join shape: the layout is written once (a nightly job) and
+    // every consumer joins shuffle-free afterwards.
+    Q("q_join_bucketed",
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      Layout.bucketed(s, d, "orders", "o_orderkey").hint("merge")
+        .join(Layout.bucketed(s, d, "lineitem", "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")

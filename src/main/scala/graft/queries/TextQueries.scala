@@ -272,6 +272,21 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
         .orderBy("id")
     },
 
+    // B20g' — the same cluster assignment with exact dedup collapsed FIRST
+    // ([[graft.operators.Dedup.clustersExactFirst]]): identical texts
+    // collapse to min-id reps before shingling, CC runs on the rep-level
+    // pair graph, labels expand back over the membership map. On a d-copy
+    // corpus the plain variant feeds CC a ~d²-inflated clique graph
+    // (644 s at sf10's 100-copy duplication vs ~5 s collapsed — r4
+    // VERDICT item 1); results are identical whenever no LSH bucket
+    // tripped the cap (DedupSpec pins equality on a replicated corpus).
+    Q.noOracle("q_dedup_clusters_exact_first") { (s, d) =>
+      Dedup.clustersExactFirst(
+        Tables.documents(s, d).select(col("doc_id").as("id"), col("text")),
+        threshold = 0.5)
+        .orderBy("id")
+    },
+
     // Deterministic hash sampling — the reproducible down-sampling a
     // training pipeline needs (seeded RNG sampling depends on row order /
     // partitioning; a key-hash predicate does not). Multiplicative hash in

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 
 /** Co-located joins via bucketing — the 100 TB shuffle-elision story: two
   * tables bucketed on the join key with equal bucket counts sort-merge
@@ -44,5 +44,27 @@ class BucketingSpec extends SparkSpec {
         col("o_orderkey") === col("l_orderkey"))
       .count()
     assert(n == expected)
+  }
+
+  test("q_join_bucketed's Layout join is exchange-free and matches the shuffle sibling") {
+    // the declared query's own join (pre-aggregation): both sides come
+    // from Layout.bucketed, so the SMJ must need no Exchange at all
+    val bare = Layout.bucketed(spark, sfDir, "orders", "o_orderkey").hint("merge")
+      .join(Layout.bucketed(spark, sfDir, "lineitem", "l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_quantity"))
+    val plan = bare.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed Layout join still shuffles:\n$plan")
+
+    // second call reuses the materialized layout (no rebuild): same table
+    val again = Layout.bucketed(spark, sfDir, "orders", "o_orderkey")
+    assert(again.count() == Tables.orders(spark, sfDir).count())
+
+    // and the full declared query equals its shuffle sibling row-for-row
+    val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
+    val fast = byName("q_join_bucketed").build(spark, sfDir).collect()
+    val slow = byName("q_join_shuffle").build(spark, sfDir).collect()
+    assert(fast.sameElements(slow))
   }
 }

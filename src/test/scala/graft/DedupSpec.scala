@@ -146,6 +146,33 @@ class DedupSpec extends SparkSpec {
     assert(!base.contains(2L) && !base.contains(3L))
   }
 
+  test("exact-first clusters equal plain clusters on a replicated corpus") {
+    // Same replicated shape as the survivors pin: 3 bitwise copies of
+    // every doc (plus degenerate texts) under shifted ids. Cluster label
+    // MAPS must be identical — not just up to representative renaming,
+    // because both variants label a component by its min id and the
+    // exact-first reps ARE the group minima.
+    import spark.implicits._
+    val withDegenerate = corpus.unionByName(Seq(
+      (50L, ""), (51L, ""), (52L, "   "), (53L, "   "),
+      (54L, null.asInstanceOf[String])).toDF("id", "text"))
+    val dup = (0 until 3).map(i =>
+        withDegenerate.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
+      .reduce(_ unionByName _)
+    val plain = Dedup.clusters(Dedup.minhashPairs(dup, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.clustersExactFirst(dup, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == fast,
+      s"only-plain=${(plain.toSet -- fast.toSet).toSeq.sorted.take(10)} " +
+        s"only-fast=${(fast.toSet -- plain.toSet).toSeq.sorted.take(10)}")
+    // sanity on the base corpus: 1,2,3 share cluster 1; 4,5 unlabeled
+    val base = Dedup.clustersExactFirst(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base(1L) == 1L && base(2L) == 1L && base(3L) == 1L)
+    assert(!base.contains(4L) && !base.contains(5L))
+  }
+
   test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
     import spark.implicits._
     // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;

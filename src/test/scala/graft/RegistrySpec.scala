@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 108 queries, 96 oracle-paired, 12 rows-only") {
+  test("declared surface: 110 queries, 97 oracle-paired, 13 rows-only") {
     val all = Registry.all
-    assert(all.size == 108, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 96,
+    assert(all.size == 110, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 97,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
@@ -21,6 +21,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_agg_approx_distinct", "q_percentile_approx",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+      "q_dedup_clusters_exact_first",
       "q_dedup_pipeline", "q_dedup_pipeline_exact_first",
       "q_knn_lsh", "q_knn_lsh_dedup", "q_knn_ivf",
       "q_multimodal_decode", "q_udf_geo_truncate"))

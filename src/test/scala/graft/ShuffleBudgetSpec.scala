@@ -29,6 +29,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_cube" -> 2,
     "q_date_funcs" -> 2,
     "q_dedup_clusters" -> 1,
+    // exact-first: the text-window collapse + the rep-label expansion
+    // join (CC internals hide behind checkpoints, as in q_dedup_clusters)
+    "q_dedup_clusters_exact_first" -> 4,
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
     "q_dedup_minhash" -> 4,
@@ -58,6 +61,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_join_range_auto" -> 3,
     "q_join_semi" -> 2,
     "q_join_shuffle" -> 4,
+    // the bucketed sibling: the join itself is exchange-FREE (BucketingSpec
+    // pins zero on the bare join); only the post-join groupBy and the
+    // output sort remain
+    "q_join_bucketed" -> 2,
     "q_json_funcs" -> 1,
     "q_knn_cosine" -> 1,
     "q_knn_ivf" -> 6,
