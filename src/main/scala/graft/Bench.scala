@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON string literal with quotes/backslashes escaped and control
+    * characters flattened to spaces — failure messages pass through here
+    * before landing in bench_full.json.
+    */
+  private[graft] def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => " "
+      case c              => c.toString
+    } + "\""
+
+  /** Compact head of a bench-run failure: exception class + the first
+    * line of the ROOT cause's message (VERDICT r4 item 3: one r4 run died
+    * with a DAGScheduler stack that best-of-N silently absorbed — a
+    * recurring transient needs a name in the artifact, not just a
+    * truncated stderr tail).
+    */
+  private[graft] def errorHead(e: Throwable): String = {
+    var root = e
+    while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+    val rootMsg = Option(root.getMessage).getOrElse("")
+      .linesIterator.take(1).mkString.take(240)
+    val cls = e.getClass.getSimpleName +
+      (if (root ne e) s" <- ${root.getClass.getSimpleName}" else "")
+    s"$cls: $rootMsg"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,6 +108,10 @@ object Bench {
     // the retries were invisible in the published JSON — both auditable now)
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
     val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-failed-run exception heads (name -> class + first cause line),
+    // published in bench_full.json so a transient that best-of-N absorbs
+    // still leaves an auditable name in the artifact
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -90,6 +123,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failures += name -> errorHead(e)
           Double.NaN // a crash must never masquerade as a fast timing
         }
       }
@@ -112,7 +146,8 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             ok :+ (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => ok }
+          } catch { case e: Throwable =>
+            failures += name -> errorHead(e); ok }
         } else ok
       name -> (if (retried.isEmpty) -1.0 else retried.min) // -1 marks a broken query
     }
@@ -124,9 +159,12 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failuresJson = failures.map { case (n, h) =>
+      s"""{"q":${jsonString(n)},"error":${jsonString(h)}}"""
+    }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // The ONE stdout JSON line must fit the tail window WITH sbt's trailing

@@ -203,7 +203,13 @@ object VectorExprs {
     * tight primitive loop in both eval modes (it runs inside the
     * pair-emission HOF lambda, so interpreted eval matters as much as
     * codegen). Result is identical to the fold: slots compared up to the
-    * shorter length (signatures are fixed-width in practice).
+    * shorter length (signatures are fixed-width in practice), and a NULL
+    * slot on either side counts as NOT equal — the fold's `x === y`
+    * yields NULL there, which its sum counted as 0 (ADVICE r4: the
+    * unguarded getLong read a null slot's backing value as 0, silently
+    * equating two null slots; unreachable from minhash signatures, which
+    * are min-aggregates of non-null xxhash64 values, but the kernel is
+    * public).
     */
   case class EqualSlots(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -228,7 +234,8 @@ object VectorExprs {
       var c = 0
       var i = 0
       while (i < n) {
-        if (x.getLong(i) == y.getLong(i)) c += 1
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+          c += 1
         i += 1
       }
       c
@@ -243,7 +250,8 @@ object VectorExprs {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |int $c = 0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+           |      $a.getLong($i) == $b.getLong($i)) $c++;
            |}
            |${ev.value} = $c;
          """.stripMargin

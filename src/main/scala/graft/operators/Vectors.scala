@@ -130,12 +130,18 @@ object Vectors {
     * is (table, bucket); candidate generation stays an equi-join, never
     * all-pairs.
     *
-    * NOTE duplicate-heavy corpora make in-bucket pair counts quadratic
-    * in the duplication factor (exact copies share every bucket) —
-    * measured on the 10x-replicated sf1 set. The production mitigation
-    * is [[knnLshDeduped]] (exact-dedup of identical vectors before
-    * indexing), not a bucket cap: for kNN the mega-bucket holds exactly
-    * the true neighbors, so dropping it destroys recall.
+    * NOT THE DEFAULT ENTRY POINT — reach for [[knnLshDeduped]] first
+    * (r4 VERDICT item 2): it is bitwise result-identical (KnnSpec pins
+    * it on duplicated AND duplicate-free corpora) and survives the one
+    * input shape that kills this plain form. Duplicate-heavy corpora
+    * make in-bucket pair counts here quadratic in the duplication
+    * factor (exact copies share every bucket) — measured on the
+    * 10x-replicated sf1 set, and excluded up front from the sf10 run
+    * (projected ~20 min vs 5.7 s deduped). This plain form stays as
+    * the recall BASELINE (KnnSpec measures recall against it) and for
+    * corpora known duplicate-free; a bucket cap is not a fix — for kNN
+    * the mega-bucket holds exactly the true neighbors, so dropping it
+    * destroys recall.
     */
   def knnLsh(emb: DataFrame, k: Int, bits: Int = 6, tables: Int = 8): DataFrame =
     topK(lshCandidates(emb, bits, tables), k)

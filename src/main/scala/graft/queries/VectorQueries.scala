@@ -46,15 +46,20 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
       Vectors.knnBruteForce(Tables.embeddings(s, d), queryId = 0L, k = 10)
     },
 
-    // B21b — LSH-bucketed approximate neighbors (the 100 TB path: bucket
-    // equi-join, never all-pairs). xxhash64 hyperplanes aren't
-    // SQL-replicable -> rows-only check; KnnSpec pins recall vs brute force.
+    // B21b — LSH-bucketed approximate neighbors (bucket equi-join, never
+    // all-pairs). xxhash64 hyperplanes aren't SQL-replicable -> rows-only
+    // check; KnnSpec pins recall vs brute force. RECALL BASELINE, not the
+    // default entry point: q_knn_lsh_dedup below is bitwise
+    // result-identical and survives duplicate-heavy corpora, where this
+    // plain form's in-bucket pair counts grow quadratically in the
+    // duplication factor (see [[graft.operators.Vectors.knnLsh]]).
     Q.noOracle("q_knn_lsh") { (s, d) =>
       Vectors.knnLsh(Tables.embeddings(s, d), k = 5)
         .orderBy("id_a", "id_b")
     },
 
-    // B21b' — dedup-before-index kNN: identical vectors are searched
+    // B21b' — dedup-before-index kNN, THE DEFAULT LSH ENTRY POINT:
+    // identical vectors are searched
     // once via their representative and the result expands back exactly
     // (KnnSpec pins bitwise equality with q_knn_lsh's operator on a
     // duplicated corpus) — the production shape for duplicate-heavy

@@ -50,11 +50,18 @@ class FeatureCollectionSink extends TableProvider {
       path,
       Option(properties.get("prefix")).getOrElse("featurecollection"),
       // HTTP targets spool task temps on a driver-visible filesystem (same
-      // shared-fs assumption the file protocol already makes of `dir`)
+      // shared-fs assumption the file protocol already makes of `dir`).
+      // The default spool is scoped PER APPLICATION (ADVICE r4): temp
+      // names are unique only within one Spark app (taskId is a per-app
+      // counter), so two concurrent apps sharing a fixed spool could
+      // deliver or sweep each other's temps — the app id (plus a
+      // startTime tiebreak for id reuse across restarts) isolates them.
       Option(properties.get("spoolDir")).getOrElse(
-        if (DocTransport.isHttp(path))
-          sys.props("java.io.tmpdir") + "/graft-fc-spool"
-        else path),
+        if (DocTransport.isHttp(path)) {
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          sys.props("java.io.tmpdir") +
+            s"/graft-fc-spool-${sc.applicationId}-${sc.startTime}"
+        } else path),
       Option(properties.get("deliver.maxAttempts")).map(_.toInt).getOrElse(3),
       Option(properties.get("deliver.backoffMs")).map(_.toLong).getOrElse(100L))
   }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forced-failure test of Bench's failure emitter (VERDICT r4 item 3):
+  * a bench run that dies must leave a named, JSON-safe exception head in
+  * bench_full.json, even when best-of-N absorbs the failure.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  test("errorHead names the exception and the root cause's first line") {
+    // the r4 shape: a SparkException wrapping a DAGScheduler failure whose
+    // message is a multi-line stack head
+    val root = new IllegalStateException(
+      "Task 3 in stage 7 failed\n  long stack line two\n  line three")
+    val e = new RuntimeException("Job aborted", root)
+    val head = Bench.errorHead(e)
+    assert(head.startsWith("RuntimeException <- IllegalStateException: "))
+    assert(head.contains("Task 3 in stage 7 failed"))
+    assert(!head.contains("line two"), s"must keep only the first line: $head")
+    // uncaused exceptions keep a single class name
+    assert(Bench.errorHead(new RuntimeException("plain"))
+      == "RuntimeException: plain")
+    // null messages must not NPE
+    assert(Bench.errorHead(new RuntimeException(null: String))
+      == "RuntimeException: ")
+  }
+
+  test("jsonString escapes quotes, backslashes, and control characters") {
+    val hostile = "he said \"boom\\crash\"\nnext\tline"
+    val out = Bench.jsonString(hostile)
+    assert(out.head == '"' && out.last == '"')
+    val body = out.substring(1, out.length - 1)
+    // no raw quote, backslash-escaping intact, no control chars survive
+    assert(!body.replace("\\\"", "").replace("\\\\", "").contains("\""))
+    assert(!body.exists(_ < ' '))
+    // and the composed failures entry still parses as a flat JSON object
+    // shape (balanced quotes — a proxy for validity without a parser dep)
+    val entry = s"""{"q":${Bench.jsonString("q_x")},"error":$out}"""
+    assert(entry.count(_ == '"') % 2 == 0)
+  }
+
+  test("a failure's head is bounded even for enormous messages") {
+    val huge = new RuntimeException("x" * 10000)
+    assert(Bench.errorHead(huge).length < 300)
+  }
+}

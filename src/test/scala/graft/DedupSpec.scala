@@ -227,6 +227,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("EqualSlots counts null slots as not-equal in both eval modes") {
+    // ADVICE r4: the unguarded getLong read a null slot as raw 0, so two
+    // null slots counted as equal — diverging from the zip_with fold it
+    // replaced (x === y is NULL there, counted as not-equal). Unreachable
+    // from minhash signatures (min-aggregates of non-null hashes), but
+    // the kernel is public: pin the fold semantics on null-bearing input.
+    val df = spark.sql(
+      "SELECT array(1L, 2L, NULL, 7L) AS a, array(1L, NULL, NULL, 8L) AS b")
+    // codegen path (plain projection)
+    val cg = df.select(graft.functions.VectorExprs
+        .equalSlots(col("a"), col("b")).as("c"))
+      .first().getInt(0)
+    assert(cg == 1, s"codegen: $cg")
+    // interpreted path — inside a HOF lambda, exactly how minhashPairs
+    // evaluates it during pair emission
+    val interp = df.select(element_at(
+        transform(array(struct(col("a"), col("b"))), s =>
+          graft.functions.VectorExprs.equalSlots(
+            s.getField("a"), s.getField("b"))), 1).as("c"))
+      .first().getInt(0)
+    assert(interp == 1, s"interpreted: $interp")
+  }
+
   test("shingles: short docs degrade to whole-text shingle") {
     import spark.implicits._
     val rows = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")
