@@ -10,7 +10,16 @@ final case class Config(
     shareId: String,
     debug: Boolean = false,
     sfDir: String = "/root/testdata/sf0.001",
-    cpus: Int = 4)
+    cpus: Int = 4,
+    /** A9 strict-fidelity arm: replicate the reference's JS coercion of
+      * present-but-null style values (`String(null)`="null",
+      * `Number(null)`=0, `task.ts:116-120`) instead of the engine's
+      * default nullify (the one deliberate reference delta —
+      * [[graft.operators.CalTopo]] divergence notes). Off by default:
+      * "null"-the-string and 0-opacity are corrupt style data no
+      * consumer wants unless migrating bit-for-bit.
+      */
+    strictJsSemantics: Boolean = false)
 
 object Config {
   /** Parse from an env-style map; missing required key => IllegalArgument
@@ -36,6 +45,7 @@ object Config {
       shareId = shareId,
       debug = bool("DEBUG", dflt = false),
       sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
-      cpus = int("SPARK_GRAFT_CPUS", 4))
+      cpus = int("SPARK_GRAFT_CPUS", 4),
+      strictJsSemantics = bool("GRAFT_STRICT_JS", dflt = false))
   }
 }
