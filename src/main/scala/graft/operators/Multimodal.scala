@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * (`Dataset.mapPartitions` — the Scala analog of `mapInPandas`: one
   * iterator of rows per partition, vectorizable per batch, no shuffle).
   *
-  * The actual byte->pixels/samples decode is STUBBED (no media libs in this
-  * environment): [[FakeDecoder]] derives deterministic features from the
-  * bytes so the schema, partitioning, batch shape, and downstream plumbing
-  * are real and testable. Swapping in a real decoder changes ONE function.
+  * The image decode step is REAL as of r5: [[ImageCodec]] is a pure-JDK
+  * grayscale-PNG codec (encode + full inflate/un-filter decode) with
+  * JPEG/GIF/BMP dimension header parsing — see [[imageTable]] /
+  * [[decodeImages]], oracle-checked end to end. [[FakeDecoder]] remains as
+  * the FEATURE-EXTRACTION stand-in (byte-histogram moments in place of a
+  * learned embedding model, which no container ships): schema,
+  * partitioning, and batch shape are the production ones; swapping in a
+  * real model changes one function.
   *
   * At 100 TB: payloads stay columnar parquet binary; decode is
   * embarrassingly parallel (no shuffle), so throughput scales linearly with
@@ -95,6 +99,72 @@ object Multimodal {
           (id, out)
         }
       }
+  }
+
+  /** A decoded image record: container metadata + pixel digest. `format`
+    * is "png"/"jpeg"/"gif"/"bmp" from the header walk, or "unknown" for
+    * unrecognized bytes (width/height/n_pixels 0, null digest) — a media
+    * sweep keeps corrupt rows visible rather than dropping them, the same
+    * quarantine posture as the PERMISSIVE decode arm (A2).
+    */
+  final case class DecodedImage(
+      media_id: Long, format: String, width: Int, height: Int,
+      n_pixels: Int, pixel_md5: String)
+
+  /** Image table from documents: each doc becomes a REAL grayscale PNG
+    * ([[ImageCodec.encodePng]] — genuine container, zlib IDAT, per-row
+    * rotating scanline filters) whose dimensions derive from `doc_id`
+    * (width = 8 + id % 24, height = 8 + id % 16) and whose pixels are the
+    * text's bytes repeated to fill width*height (ASCII corpus: byte ==
+    * char, so an oracle can reconstruct the exact pixel buffer with
+    * repeat+substr). Empty/null text falls back to a single 'A'. Encode is
+    * per-row CPU inside mapPartitions — no shuffle.
+    */
+  def imageTable(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + id % 16).toInt
+          val t = if (text == null || text.isEmpty) "A" else text
+          val src = t.getBytes("UTF-8")
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = src(i % src.length); i += 1 }
+          (id, ImageCodec.encodePng(w, h, px))
+        }
+      }
+  }
+
+  /** The REAL decode pass (replaces the r4 stub as `q_multimodal_decode`):
+    * header walk for format + dimensions, then full PNG pixel decode
+    * (inflate + un-filter) with an md5 digest of the recovered pixel
+    * buffer. The oracle reconstructs the same digest from the text the
+    * pixels were built from, so a hash match proves the whole
+    * encode->container->inflate->un-filter path byte-exact — not just the
+    * header arithmetic. Partition-local batch shape as everywhere in B23.
+    */
+  def decodeImages(spark: SparkSession,
+      media: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (id, payload) =>
+        ImageCodec.decodeDims(payload) match {
+          case Some(info) =>
+            val digest = ImageCodec.decodePngGray(payload).map { case (_, _, px) =>
+              md.reset()
+              md.digest(px).map("%02x".format(_)).mkString
+            }
+            DecodedImage(id, info.format, info.width, info.height,
+              info.width * info.height, digest.orNull)
+          case None => DecodedImage(id, "unknown", 0, 0, 0, null)
+        }
+      }
+    }
   }
 
   /** Frame sampling: every `stride`-th 256-byte chunk becomes a frame row

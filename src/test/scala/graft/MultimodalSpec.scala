@@ -67,6 +67,89 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == media.count())
   }
 
+  test("PNG codec round-trip: all five scanline filters recover exact pixels") {
+    import graft.operators.ImageCodec
+    // height 7 > 5 rotates through every filter type (None/Sub/Up/Avg/Paeth)
+    val (w, h) = (13, 7)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = ImageCodec.encodePng(w, h, px)
+    // container is recognized by the header walk
+    assert(ImageCodec.decodeDims(png).contains(ImageCodec.ImageInfo("png", w, h)))
+    // and the full decode recovers the exact buffer
+    val Some((dw, dh, dpx)) = ImageCodec.decodePngGray(png)
+    assert(dw == w && dh == h)
+    assert(dpx.sameElements(px), "un-filter must recover every pixel byte")
+  }
+
+  test("PNG decode agrees with an INDEPENDENT encoder (javax.imageio)") {
+    // ImageIO (JDK) writes its own grayscale PNGs — filters, zlib strategy,
+    // chunk layout all chosen independently of our encoder. Decoding them
+    // correctly shows the codec implements the spec, not just its own dialect.
+    import graft.operators.ImageCodec
+    import java.awt.image.BufferedImage
+    val (w, h) = (31, 17)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(w * h)(i => ((i * 89 + 3) % 256).toByte)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val theirPng = bos.toByteArray
+    assert(ImageCodec.decodeDims(theirPng)
+      .contains(ImageCodec.ImageInfo("png", w, h)))
+    val Some((_, _, got)) = ImageCodec.decodePngGray(theirPng)
+    assert(got.sameElements(px), "must decode an ImageIO-written PNG exactly")
+    // and the reverse: ImageIO reads OUR container
+    val ours = ImageCodec.encodePng(w, h, px)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(back != null && back.getWidth == w && back.getHeight == h)
+    val theirs = new Array[Byte](w * h)
+    back.getRaster.getDataElements(0, 0, w, h, theirs)
+    assert(theirs.sameElements(px), "ImageIO must read our PNG exactly")
+  }
+
+  test("header parse: JPEG/BMP dims via ImageIO ground truth, GIF and junk by hand") {
+    import graft.operators.ImageCodec
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // JPEG: dims live in a SOF segment past JFIF/quant/huffman tables —
+    // the marker walk has to skip them all
+    assert(ImageCodec.decodeDims(encode("jpg", 129, 67))
+      .contains(ImageCodec.ImageInfo("jpeg", 129, 67)))
+    // BMP: little-endian BITMAPINFOHEADER
+    assert(ImageCodec.decodeDims(encode("bmp", 40, 25))
+      .contains(ImageCodec.ImageInfo("bmp", 40, 25)))
+    // GIF: logical screen descriptor, LE u16 (ImageIO has no GIF single-
+    // frame writer guarantee -> hand-built header, the documented layout)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x2c, 0x01, 0x0f, 0x00, 0, 0, 0, 0) // 300 x 15 + padding
+    assert(ImageCodec.decodeDims(gif)
+      .contains(ImageCodec.ImageInfo("gif", 300, 15)))
+    // junk and truncation quarantine as None, never throw
+    assert(ImageCodec.decodeDims("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decodeDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(ImageCodec.decodeDims(null).isEmpty)
+    assert(ImageCodec.decodeDims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeImages quarantines unrecognized payloads instead of dropping them") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val rows = Seq(
+      (1L, graft.operators.ImageCodec.encodePng(9, 9, Array.fill(81)(7.toByte))),
+      (2L, "definitely not an image".getBytes)).toDS()
+    val out = Multimodal.decodeImages(spark, rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).format == "png" && out(1L).n_pixels == 81 &&
+      out(1L).pixel_md5 != null)
+    assert(out(2L).format == "unknown" && out(2L).n_pixels == 0 &&
+      out(2L).pixel_md5 == null)
+  }
+
   test("frame sampling: stride-2 chunk rows with correct sizes") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val one = frames.filter(col("media_id") === 1)
