@@ -167,6 +167,71 @@ object Multimodal {
     }
   }
 
+  /** A decoded audio record: container format fields + exact integer
+    * aggregates of the recovered PCM stream. `duration_us` and `sum_amp`
+    * use integer arithmetic only, so an oracle reproduces them exactly.
+    */
+  final case class DecodedAudio(
+      media_id: Long, format: String, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Int, duration_us: Long, sum_amp: Long)
+
+  /** Audio table from documents: each doc becomes a REAL WAV file
+    * ([[AudioCodec.encodeWavPcm16]]) — sample rate 8/12/16 kHz and 1–2
+    * channels derived from `doc_id`, one frame per text character with
+    * every channel's sample = `(byte - 64) * 256` (ASCII corpus: the
+    * oracle reconstructs the sum of samples from character codes).
+    * Empty/null text falls back to "A". Per-row CPU in mapPartitions.
+    */
+  def audioTable(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val ch = 1 + (id % 2).toInt
+          val t = if (text == null || text.isEmpty) "A" else text
+          val src = t.getBytes("UTF-8")
+          val samples = new Array[Short](src.length * ch)
+          var i = 0
+          while (i < src.length) {
+            val v = (((src(i) & 0xff) - 64) * 256).toShort
+            var c = 0
+            while (c < ch) { samples(i * ch + c) = v; c += 1 }
+            i += 1
+          }
+          (id, AudioCodec.encodeWavPcm16(rate, ch, samples))
+        }
+      }
+  }
+
+  /** The audio decode pass: RIFF chunk walk for format, full PCM recovery
+    * for the sample aggregates. `duration_us = n_frames * 1_000_000 /
+    * rate` in integer division (exact, oracle-reproducible); `sum_amp` is
+    * the i64 sum of every decoded sample, so a single corrupted PCM byte
+    * shows up as a hash mismatch. Unrecognized payloads quarantine as
+    * "unknown" rows, same posture as [[decodeImages]].
+    */
+  def decodeAudio(spark: SparkSession,
+      media: Dataset[(Long, Array[Byte])]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        AudioCodec.decodeWavPcm16(payload) match {
+          case Some((info, samples)) =>
+            var sum = 0L
+            var i = 0
+            while (i < samples.length) { sum += samples(i); i += 1 }
+            DecodedAudio(id, "wav", info.sampleRate, info.channels,
+              info.bitsPerSample, info.nFrames,
+              info.nFrames.toLong * 1000000L / info.sampleRate, sum)
+          case None => DecodedAudio(id, "unknown", 0, 0, 0, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th 256-byte chunk becomes a frame row
     * (id, frame_no, frame_bytes). Row-multiplying, so it runs BEFORE any
     * wide op and the caller controls post-explode partitioning.

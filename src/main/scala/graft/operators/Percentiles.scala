@@ -102,33 +102,40 @@ object Percentiles {
       .filter(col("v").isNotNull)
 
     // -- pass 1: per-group n + sketch brackets (wide), then explode to the
-    //    long (g, t, p, lo, hi) state rows the loop operates on
-    val brCols = count(lit(1)).as("n") +:
-      min(col("v")).as("vmin") +: max(col("v")).as("vmax") +:
-      targets.zipWithIndex.flatMap { case ((_, p), i) => Seq(
-        percentile_approx(col("v"), lit(math.max(0.0, p - delta)), lit(accuracy))
-          .as(s"a$i"),
-        percentile_approx(col("v"), lit(math.min(1.0, p + delta)), lit(accuracy))
-          .as(s"b$i"))
-      }
-    // checkpoint the (one-row-per-group) sketch result: it feeds the probe
-    // action AND the returned plan — without truncation the expensive
-    // sketch aggregation would re-execute once per consumer
-    val br = base.groupBy(col("g")).agg(brCols.head, brCols.tail: _*)
+    //    long (g, t, p, lo, hi) state rows the loop operates on.
+    //    ONE sketch per group, not one per bracket endpoint: every
+    //    percentile_approx aggregate maintains its own QuantileSummaries
+    //    over the full column, so 2T independent calls cost 2T full sketch
+    //    update streams — measured 257 s for T=9 over 10 M rows at sf10
+    //    (r5) vs ~14 s for the single array-percentage form, which updates
+    //    one sketch and evaluates all 2T quantiles from it. Bracket values
+    //    can differ slightly from the per-endpoint form (different
+    //    compression schedules) but brackets only NARROW the search: the
+    //    exact ranks are recomputed in pass 2 and the enclosure `require`
+    //    below still guards every target, so the final interpolated result
+    //    is identical.
+    val pcts = targets.flatMap { case (_, p) =>
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)) }
+    val br = base.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        percentile_approx(col("v"), array(pcts.map(lit): _*), lit(accuracy))
+          .as("qs"))
+      // checkpoint the (one-row-per-group) sketch result: it feeds the
+      // probe action AND the returned plan — without truncation the
+      // expensive sketch aggregation would re-execute once per consumer
       .localCheckpoint(true)
     val targetRows = targets.zipWithIndex.map { case ((name, p), i) =>
       struct(lit(name).as("t"), lit(p).as("p"), lit(i).as("ti"))
     }
     val small = col("n") < lit(smallFloor)
     val st0 = br.select(col("g"), col("n"), col("vmin"), col("vmax"),
-        explode(array(targetRows: _*)).as("tt"),
-        array(targets.indices.map(i => col(s"a$i")): _*).as("as"),
-        array(targets.indices.map(i => col(s"b$i")): _*).as("bs"))
+        col("qs"), explode(array(targetRows: _*)).as("tt"))
       .select(col("g"), col("n"), col("tt.t").as("t"), col("tt.p").as("p"),
         when(small, col("vmin"))
-          .otherwise(element_at(col("as"), col("tt.ti") + 1)).as("lo"),
+          .otherwise(element_at(col("qs"), col("tt.ti") * 2 + 1)).as("lo"),
         when(small, col("vmax"))
-          .otherwise(element_at(col("bs"), col("tt.ti") + 1)).as("hi"))
+          .otherwise(element_at(col("qs"), col("tt.ti") * 2 + 2)).as("hi"))
       // 1-based target ranks for symmetric interpolation: r = (n-1)·p,
       // k = floor(r); need elements at ranks k+1 and (k+2 capped at n).
       // Discrete mode: r is the exact integer ceil(p·n)-1 (clamped ≥0),

@@ -53,6 +53,36 @@ FROM m ORDER BY media_id""") { (s, d) =>
           Multimodal.imageTable(Tables.documents(s, d)))
         .toDF()
         .orderBy("media_id")
+    },
+
+    // Audio arm (r5): each doc encoded as a genuine RIFF/WAVE PCM-16 file
+    // and decoded back — chunk walk for format, full sample recovery for
+    // the aggregates. Everything compared is integer-exact: duration via
+    // BIGINT floor-division, sum_amp as the i64 sum of every decoded
+    // sample (one corrupt PCM byte = hash mismatch). The oracle rebuilds
+    // the sample sum from character codes (one frame per ASCII char,
+    // every channel's sample = (code-64)*256).
+    Q("q_multimodal_audio",
+      """WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN text IS NULL OR text = '' THEN 'A' ELSE text END AS t,
+    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+    CAST(1 + doc_id % 2 AS INT) AS channels
+  FROM documents),
+amp AS (
+  SELECT media_id, sum(ascii(substr(m.t, CAST(u.i AS INT), 1)) - 64) AS s
+  FROM m, UNNEST(range(1, length(m.t) + 1)) AS u(i)
+  GROUP BY media_id)
+SELECT m.media_id, 'wav' AS format, m.sample_rate, m.channels, 16 AS bits,
+  CAST(length(m.t) AS INT) AS n_frames,
+  CAST(length(m.t) AS BIGINT) * 1000000 // m.sample_rate AS duration_us,
+  CAST(amp.s * 256 * m.channels AS BIGINT) AS sum_amp
+FROM m JOIN amp USING (media_id)
+ORDER BY m.media_id""") { (s, d) =>
+      Multimodal.decodeAudio(s,
+          Multimodal.audioTable(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("media_id")
     }
   )
 }

@@ -264,6 +264,10 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
     // B20g — near-dup cluster assignment: minhash candidate pairs ->
     // connected components -> (id, cluster representative). Rows-only
     // (hash-derived pairs); DedupSpec pins the component semantics.
+    // NOT THE DEFAULT ENTRY POINT on corpora that may hold exact
+    // duplicates — q_dedup_clusters_exact_first below is result-identical
+    // and collapses the d²-inflated clique graph first; this plain form
+    // stays as the uncollapsed baseline.
     Q.noOracle("q_dedup_clusters") { (s, d) =>
       Dedup.clusters(
         Dedup.minhashPairs(

@@ -150,6 +150,74 @@ class MultimodalSpec extends SparkSpec {
       out(2L).pixel_md5 == null)
   }
 
+  test("WAV codec round-trip: exact samples, and javax.sound agrees both ways") {
+    import graft.operators.AudioCodec
+    val samples = Array.tabulate(501 * 2)(i => ((i * 131 - 7000) % 32768).toShort)
+    val wav = AudioCodec.encodeWavPcm16(16000, 2, samples)
+    // our decode recovers the header and every sample bit-exact
+    val Some((info, got)) = AudioCodec.decodeWavPcm16(wav)
+    assert(info == AudioCodec.WavInfo(16000, 2, 16, 501))
+    assert(got.sameElements(samples))
+    // javax.sound (JDK, independent RIFF implementation) parses OUR file
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    val f = aff.getFormat
+    assert(f.getSampleRate == 16000f && f.getChannels == 2 &&
+      f.getSampleSizeInBits == 16)
+    assert(aff.getFrameLength == 501)
+    // and we parse THEIRS: write via AudioSystem, decode with our walk
+    val theirFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](64 * 2)
+    (0 until 64).foreach { i =>
+      pcm(2 * i) = (i * 3).toByte; pcm(2 * i + 1) = (i % 5).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), theirFmt, 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((theirInfo, theirSamples)) = AudioCodec.decodeWavPcm16(bos.toByteArray)
+    assert(theirInfo == AudioCodec.WavInfo(8000, 1, 16, 64))
+    assert(theirSamples.length == 64 &&
+      theirSamples(1) == (((1 % 5) << 8) | 3).toShort)
+  }
+
+  test("WAV header walk: extra chunks tolerated, junk/non-PCM quarantined") {
+    import graft.operators.AudioCodec
+    val base = AudioCodec.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    // splice a LIST chunk (odd length -> word-aligned pad) between fmt and data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // fix the RIFF size field (LE u32 at offset 4)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    val Some((info, s)) = AudioCodec.decodeWavPcm16(spliced)
+    assert(info.nFrames == 3 && s.sameElements(Array[Short](1, 2, 3)))
+    // quarantine: junk, truncation, non-PCM codec byte
+    assert(AudioCodec.decodeHeader("RIFFnope".getBytes).isEmpty)
+    assert(AudioCodec.decodeHeader(base.take(30)).isEmpty)
+    val mulaw = base.clone(); mulaw(20) = 7 // format tag != 1 (PCM)
+    assert(AudioCodec.decodeHeader(mulaw).isEmpty)
+    assert(AudioCodec.decodeHeader(null).isEmpty)
+  }
+
+  test("decodeAudio: oracle-exact integer fields and unknown-payload quarantine") {
+    import graft.operators.{AudioCodec, Multimodal}
+    import spark.implicits._
+    val rows = Seq(
+      (5L, AudioCodec.encodeWavPcm16(12000, 2,
+        Array[Short](256, 256, -512, -512))),
+      (6L, "not audio".getBytes)).toDS()
+    val out = Multimodal.decodeAudio(spark, rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(5L).format == "wav" && out(5L).n_frames == 2 &&
+      out(5L).duration_us == 2L * 1000000L / 12000L &&
+      out(5L).sum_amp == (256 + 256 - 512 - 512))
+    assert(out(6L).format == "unknown" && out(6L).sum_amp == 0L)
+  }
+
   test("frame sampling: stride-2 chunk rows with correct sizes") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val one = frames.filter(col("media_id") === 1)

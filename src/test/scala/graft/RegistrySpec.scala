@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 110 queries, 98 oracle-paired, 12 rows-only") {
+  test("declared surface: 111 queries, 99 oracle-paired, 12 rows-only") {
     val all = Registry.all
-    assert(all.size == 110, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 98,
+    assert(all.size == 111, s"query count drifted: ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 99,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal

@@ -76,6 +76,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_map_funcs" -> 1,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
+    "q_multimodal_audio" -> 1,
     "q_multimodal_binary" -> 1,
     "q_multimodal_decode" -> 1,
     "q_multimodal_frames" -> 1,
