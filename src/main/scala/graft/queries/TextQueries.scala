@@ -243,14 +243,20 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
       val tf = words.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
       // df(word) = number of docs containing the word = row count per word
-      // in tf (tf has one row per (doc, word)) — a window over tf, so the
+      // in tf (tf has one row per (doc, word)) — computed FROM tf so the
       // corpus is exploded ONCE (a separate words.distinct().groupBy
-      // subplan re-exploded every document; VERDICT r1 §wrong.3)
+      // subplan re-exploded every document; VERDICT r1 §wrong.3). As an
+      // AGGREGATE of tf rather than a window over it (r5): the window form
+      // shuffled AND sorted the full (doc, word) table by word — ~500 M
+      // rows at sf100 — where the aggregate partial-combines map-side down
+      // to one row per vocabulary word, and joining that back broadcasts
+      // (vocabulary is bounded — Heaps'-law sublinear in corpus size — so
+      // the dim side stays megabytes when the fact side is terabytes).
+      val dfCounts = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("word"))
-      tf.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("word"))))
+      tf.join(broadcast(dfCounts), Seq("word"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           (col("tf").cast("double") *

@@ -121,7 +121,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_text_quality" -> 1,
     "q_text_repetition" -> 4,
     "q_text_stats" -> 2,
-    "q_text_tfidf" -> 6,
+    // 8 = tf shuffle ×2 (the df-count branch re-derives tf — column
+    // pruning specializes the subplans past ReuseExchange; the second
+    // tokenize pass measured CHEAPER at sf10/sf100 than the window
+    // form's full-corpus sort-by-word it replaced, 11.7→5.5 s / 240→153 s)
+    // + df word shuffle + its broadcast + the single-row N broadcast +
+    // N's scalar agg + doc_id window shuffle + final orderBy range
+    "q_text_tfidf" -> 8,
     "q_text_tokens" -> 1,
     "q_text_tokens_bpe" -> 1,
     "q_text_vocab" -> 3, // word-count shuffle + scalar-total single partition + its broadcast; top-50 is TakeOrderedAndProject (no sort exchange), window runs on the already-single-partition 50-row join output
