@@ -425,25 +425,30 @@ object Dedup {
     * silently dropped pairs — exact-first labels are a superset, never
     * fewer.
     *
-    * One window over text computes rep + group size in a single shuffle;
-    * the final expansion is an equi-join on the (small) rep-label table.
+    * The collapse is a `groupBy(text)` AGGREGATE, not a window: partial
+    * aggregation folds a d-copy group to one row map-side, so the only
+    * thing shuffled by text is one row per DISTINCT text — the corpus
+    * itself is never sorted (the former window shape shuffled AND sorted
+    * every member row by its full text). Labels expand back over one
+    * equi-join on text, which AQE broadcasts when the distinct-text side
+    * is small; the corpus-side aggregate is evaluated once per consumer
+    * (same trade as the tfidf df-branch — the collapse is d× cheaper than
+    * the sort it replaces).
     */
   def clustersExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byText = Window.partitionBy(col("text"))
-    val keyed = docs.select(col("id"), col("text"))
+    val nonDegenerate = docs.select(col("id"), col("text"))
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
-      .select(col("id"), col("text"),
-        min(col("id")).over(byText).as("rep"),
-        count(lit(1)).over(byText).as("grp_n"))
+    val groups = nonDegenerate.groupBy(col("text"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
     val repLabels = clusters(minhashPairs(
-        keyed.filter(col("id") === col("rep")).select(col("id"), col("text")),
-        threshold))
+        groups.select(col("rep").as("id"), col("text")), threshold))
       .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
-    keyed.join(repLabels, col("rep") === col("rep_id"), "left")
+    val labeled = groups.join(repLabels, col("rep") === col("rep_id"), "left")
       .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
-      .select(col("id"),
+      .select(col("text"),
         coalesce(col("rep_cluster"), col("rep")).as("cluster"))
+    nonDegenerate.join(labeled, Seq("text"))
+      .select(col("id"), col("cluster"))
   }
 
   /** Embedding-cosine near-dup pairs within a vec-id neighbor window (the
