@@ -252,7 +252,15 @@ ORDER BY doc_id, score DESC, word""") { (s, d) =>
       // to one row per vocabulary word, and joining that back broadcasts
       // (vocabulary is bounded — Heaps'-law sublinear in corpus size — so
       // the dim side stays megabytes when the fact side is terabytes).
-      val dfCounts = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // The tf >= 1 filter is semantically a no-op (counts are >= 1 by
+      // construction) but it keeps the count column referenced in this
+      // subplan: without it column pruning drops the count from the df
+      // branch's copy of the (doc_id, word) aggregate, the two shuffles
+      // canonicalize differently, and the corpus is tokenized twice; with
+      // it ReuseExchange (and AQE's stage cache) serve both branches from
+      // ONE explode+partial-aggregate pass.
+      val dfCounts = tf.filter(col("tf") >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("word"))
