@@ -438,8 +438,15 @@ object Dedup {
   def clustersExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val nonDegenerate = docs.select(col("id"), col("text"))
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+    // Eager checkpoint: [[clusters]] materializes its edge graph in its
+    // own jobs, so the two consumers of `groups` (pair generation there,
+    // the expansion join here) run in SEPARATE query executions — exchange
+    // reuse cannot span them and the corpus collapse would run twice.
+    // The collapsed table is one row per DISTINCT text (the small side by
+    // construction on a duplicated corpus), so materializing it is cheap.
     val groups = nonDegenerate.groupBy(col("text"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+      .localCheckpoint(true)
     val repLabels = clusters(minhashPairs(
         groups.select(col("rep").as("id"), col("text")), threshold))
       .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
