@@ -386,10 +386,15 @@ object Dedup {
     // shingle-less texts can never pair in plain survivors — they ALL
     // survive there, so they must not be collapsed to a representative
     val degenerate = trim(coalesce(col("text"), lit(""))) === ""
+    // Eager checkpoint for the same reason as [[clustersExactFirst]]:
+    // [[survivors]] consumes reps once inside [[clusters]]' checkpointed
+    // jobs and once in the final keep-join — separate query executions,
+    // so without materialization the collapse aggregate runs twice.
     val reps = docs.select(col("id"), col("text"))
       .filter(!degenerate)
       .groupBy(col("text")).agg(min(col("id")).as("id"))
       .select(col("id"), col("text"))
+      .localCheckpoint(true)
     val keepIds = survivors(reps, threshold).select(col("id"))
     docs.filter(!degenerate).join(keepIds, Seq("id"), "left_semi")
       .unionByName(docs.filter(degenerate))
