@@ -224,10 +224,12 @@ object Vectors {
     * order-independent (a float running mean would not be).
     */
   def knnIvf(emb: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
-    val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"), col("col").cast("decimal(28,10)").as("v"))
-    val labeled = dims.join(emb.select(col("vec_id"), col("label")), "vec_id")
-    val centroids = labeled.groupBy(col("label"), col("pos"))
+    // label rides through the explode — a join back to emb on vec_id just
+    // to fetch it re-scanned the table and shuffled the exploded dims
+    // (|vectors| x |dims| rows) once more for nothing
+    val dims = emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("decimal(28,10)").as("v"))
+    val centroids = dims.groupBy(col("label"), col("pos"))
       .agg((sum(col("v")) / count(lit(1))).cast("double").as("c"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
