@@ -279,9 +279,15 @@ FROM bins LEFT JOIN c USING (bin) ORDER BY bin_start_us""") { (s, d) =>
       val width = 60000000L // one minute in micros
       val ev = Tables.events(s, d)
         .select(expr(s"unix_micros(ts) div ${width}L").as("bin"))
-      val bins = ev.agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"))).as("bin"))
+      // The spine's min/max derive from the binned counts, not the raw
+      // events — a separate global min/max aggregate scanned the fact
+      // table a second time. The counts table is bounded by the TIME
+      // RANGE (one row per observed minute), so materializing it for its
+      // two consumers (spine + join) is cheap and the corpus is read once.
       val counts = ev.groupBy("bin").agg(count(lit(1)).as("n_events"))
+        .localCheckpoint(true)
+      val bins = counts.agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("bin"))
       bins.join(counts, Seq("bin"), "left")
         .select((col("bin") * width).as("bin_start_us"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))

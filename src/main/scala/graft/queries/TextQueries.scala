@@ -359,7 +359,13 @@ FROM documents d JOIN c USING (lang) CROSS JOIN m
 WHERE ((d.doc_id & 2147483647) * 2654435761) % c.cnt < m.mn
 ORDER BY d.doc_id""") { (s, d) =>
       val docs = Tables.documents(s, d)
+      // Eager checkpoint: the join infers isnotnull(lang) into ITS copy of
+      // this aggregate's scan while the global-min branch must keep the
+      // null-lang group, so the two subplans canonicalize differently and
+      // exchange reuse cannot serve them — without materialization the
+      // corpus is scanned once per branch. The aggregate is |langs| rows.
       val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val m = c.agg(min(col("cnt")).as("mn"))
       docs.join(broadcast(c), "lang")
         .crossJoin(broadcast(m))
