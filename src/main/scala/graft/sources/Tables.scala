@@ -15,11 +15,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true (Verify/
-    * Bench/test harnesses do): the events file carries TIMESTAMP(NANOS),
-    * which Spark reads as a nanos BIGINT under that flag. Normalize here to
-    * a micros TimestampType (floor division — exactly what DuckDB does when
-    * it reads the same file), so every consumer sees one timestamp type.
+  /** The events file's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (read as a nanos BIGINT under
+    * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/test
+    * harnesses set) and plain micros `timestamp[us]` with no timezone
+    * (read as TIMESTAMP_NTZ). Normalize both here to a micros
+    * TimestampType so every consumer sees one timestamp type: nanos get
+    * floor division (exactly what DuckDB does reading the same file), and
+    * NTZ is cast under the harness's pinned UTC session timezone, which
+    * preserves the stored micros value bit-for-bit.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
@@ -27,6 +31,9 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

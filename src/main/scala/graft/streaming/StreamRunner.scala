@@ -30,9 +30,12 @@ object StreamRunner {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    // same nanos->micros normalization as Tables.events
+    // same timestamp normalization as Tables.events: nanos-as-long and
+    // timezone-less micros generations both become micros TimestampType
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (batchSchema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
 
