@@ -173,47 +173,68 @@ object Vectors {
     * expand-everything-then-rank variant was measured SLOWER than plain
     * knnLsh at sf1 (22 s vs 12 s — the window input is the whole
     * quadratic set either way); this group-ranked shape is the one that
-    * pays. At 100 TB the groupBy(embedding) shuffle carries full vectors
-    * once; shrink the key to xxhash64(embedding)+embedding if byte
-    * volume dominates (same plan shape).
+    * pays. At 100 TB the partition-by-embedding shuffle carries full
+    * vectors once; shrink the key to xxhash64(embedding)+embedding if
+    * byte volume dominates (same plan shape).
+    *
+    * MEMBERSHIP IS ROWS, NEVER A PER-GROUP ARRAY (VERDICT r5 item 1):
+    * group membership is tagged by a min-over-partition window —
+    * WindowExec buffers each group in a spillable row array, so a
+    * pathological group (one vector × 10⁸ copies) spills to disk
+    * instead of building an unbounded collect_list aggregation buffer
+    * (a single row's agg state cannot spill). The k-lowest slices each
+    * group needs downstream are rank-limited windows, which the
+    * optimizer compiles to WindowGroupLimit — only k rows per group are
+    * ever retained (KnnSpec pins both the plan shape and the results on
+    * a mega-duplicate corpus).
     */
   def knnLshDeduped(emb: DataFrame, k: Int, bits: Int = 6,
       tables: Int = 8): DataFrame = {
-    // one shuffle, materialized once: reps feed lshCandidates (which
-    // self-joins), and groups feed the b-side metadata, the a-side
-    // expansion, and the same-group emission
-    val groups = emb.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep"),
-        sort_array(collect_list(col("vec_id"))).as("ids"))
+    // one shuffle by embedding, materialized once: reps feed
+    // lshCandidates (which self-joins), members feed the b-side slices,
+    // the a-side expansion, and the same-group emission
+    val tagged = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("rep",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
       .localCheckpoint(false) // lazy: no job until the query executes
-    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
-    // candidate-group metadata: the only members of a group that can
-    // ever reach a top-k are its k lowest ids
-    val bMeta = groups.select(col("rep").as("id_b"),
-      slice(col("ids"), 1, k).as("b_ids"))
-    // rank candidate groups per probe group; keep the k that can matter
+    val reps = tagged.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    // membership as bare-id ROWS (rep, member)
+    val members = tagged.select(col("rep"), col("vec_id").as("member"))
+    // the only members of a group that can ever reach a top-k are its n
+    // lowest ids; rank-limit filters compile to WindowGroupLimit (k rows
+    // of state per group, not the group)
+    val wm = Window.partitionBy(col("rep")).orderBy(col("member"))
+    def lowest(n: Int): DataFrame = members
+      .withColumn("mrn", row_number().over(wm))
+      .filter(col("mrn") <= n)
+      .drop("mrn")
+    // rank candidate groups per probe group; keep the k that can matter.
+    // Tiebreak on id_b directly: a group's rep IS its lowest member id,
+    // so this is the same order the old b_ids[1] lookup produced.
     val wg = Window.partitionBy(col("id_a"))
-      .orderBy(col("cos_sim").desc, element_at(col("b_ids"), 1).asc)
+      .orderBy(col("cos_sim").desc, col("id_b").asc)
     val topGroups = lshCandidates(reps, bits, tables)
-      .join(bMeta, "id_b")
       .withColumn("grn", row_number().over(wg))
       .filter(col("grn") <= k)
-      .drop("grn", "id_b")
-    // expand: every member of the probe group × the k candidate ids
-    val aMembers = groups.select(col("rep").as("id_a"),
-      explode(col("ids")).as("ma"))
-    val cross = topGroups.join(aMembers, "id_a")
-      .select(col("ma").as("id_a"),
-        explode(col("b_ids")).as("id_b"), col("cos_sim"))
-    // same-group: per member, the k+1 lowest-id co-members (minus self)
-    val own = groups.filter(size(col("ids")) >= 2)
-      .select(col("ids"),
-        cosine(col("embedding"), col("embedding")).as("cos_sim"))
-      .select(explode(col("ids")).as("id_a"), col("ids"), col("cos_sim"))
-      .select(col("id_a"),
-        explode(filter(slice(col("ids"), 1, k + 1),
-          x => x =!= col("id_a"))).as("id_b"),
-        col("cos_sim"))
+      .drop("grn")
+    // expand: every member of the probe group × the candidate group's k
+    // lowest ids — both sides join the bare-id membership rows
+    val aMembers = members.select(col("rep").as("id_a"), col("member").as("ma"))
+    val bLow = lowest(k).select(col("rep").as("id_b"), col("member").as("mb"))
+    val cross = topGroups.join(aMembers, "id_a").join(bLow, "id_b")
+      .select(col("ma").as("id_a"), col("mb").as("id_b"), col("cos_sim"))
+    // same-group: per member, the k+1 lowest-id co-members minus self
+    // (singleton groups vanish at the id_a =!= id_b filter). cosine(v,v)
+    // uses the same fold as the pair score, so it stays bitwise-equal to
+    // knnLsh's value for the duplicate pair.
+    val selfSim = reps.select(col("vec_id").as("rep"),
+      cosine(col("embedding"), col("embedding")).as("cos_sim"))
+    val own = members.select(col("rep"), col("member").as("id_a"))
+      .join(lowest(k + 1).select(col("rep"), col("member").as("id_b")), "rep")
+      .filter(col("id_a") =!= col("id_b"))
+      .join(selfSim, "rep")
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
     topK(cross.unionByName(own), k)
   }
 
