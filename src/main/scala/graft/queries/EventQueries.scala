@@ -319,8 +319,9 @@ ORDER BY event_type, bucket""") { (s, d) =>
     // error. The user_id equality makes this a plain hash/SMJ join with
     // the time interval as a residual predicate (the binned-range rewrite
     // is for joins with NO equi-conjunct); timestamps compare as integer
-    // micros in both engines (events.parquet is nanos — sub-microsecond
-    // components would make raw timestamp comparisons diverge).
+    // micros in both engines regardless of the file's physical type —
+    // Tables.normalizeTs maps both known generations (nanos BIGINT and
+    // micros-NTZ) to the same micros instants.
     Q("q_stream_join",
       """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS t FROM events

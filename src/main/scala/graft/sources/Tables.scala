@@ -20,12 +20,17 @@ object Tables {
     * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/test
     * harnesses set) and plain micros `timestamp[us]` with no timezone
     * (read as TIMESTAMP_NTZ). Normalize both here to a micros
-    * TimestampType so every consumer sees one timestamp type: nanos get
-    * floor division (exactly what DuckDB does reading the same file), and
-    * NTZ is cast under the harness's pinned UTC session timezone, which
-    * preserves the stored micros value bit-for-bit.
+    * TimestampType so every consumer sees one timestamp type. Both
+    * branches are timezone-INDEPENDENT: nanos get floor division (exactly
+    * what DuckDB does reading the same file), and NTZ recovers its stored
+    * micros by pure local-datetime arithmetic (timestampdiff over NTZ
+    * operands never consults the session zone — a plain
+    * cast(ts as timestamp) would shift instants under any non-UTC
+    * session). Shared by the batch loaders and
+    * [[graft.streaming.StreamRunner.eventsStream]] so the two paths
+    * cannot drift across data generations.
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -33,7 +38,9 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
-          df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(
+              "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => df
     }
 

@@ -30,13 +30,10 @@ object StreamRunner {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    // same timestamp normalization as Tables.events: nanos-as-long and
-    // timezone-less micros generations both become micros TimestampType
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else if (batchSchema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
-      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    else raw
+    // the ONE timestamp normalization, shared with the batch loaders —
+    // nanos-as-long and timezone-less micros generations both become
+    // micros TimestampType (see Tables.normalizeTs)
+    graft.sources.Tables.normalizeTs(raw)
   }
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —

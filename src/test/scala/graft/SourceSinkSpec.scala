@@ -26,6 +26,25 @@ class SourceSinkSpec extends SparkSpec {
     p.toString
   }
 
+  test("normalizeTs recovers NTZ micros independent of session timezone") {
+    // the NTZ branch must be pure local-datetime arithmetic: a plain
+    // cast(ts as timestamp) only preserved instants because every harness
+    // pins spark.sql.session.timeZone=UTC (ADVICE r5). Run it under a
+    // shifted session zone and assert the stored micros come back intact.
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-15 12:34:56.789012' AS ts, 1 AS x")
+      val out = graft.sources.Tables.normalizeTs(ntz)
+      assert(out.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val micros = out.select(unix_micros(col("ts"))).collect().head.getLong(0)
+      // 2024-03-15T12:34:56.789012Z as micros since the epoch
+      assert(micros == 1710506096789012L, s"got $micros")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("geojson source reads envelope documents into feature rows") {
     val path = writeFixture("/tmp/graft-geojson-src")
     val df = spark.read.format("graft.sources.GeoJsonSource").load(path)
