@@ -67,6 +67,40 @@ object CalTopoQueries {
   private val mcFires =
     "geom_type = 'Point' AND marker_color IS NOT NULL AND marker_color <> ''"
 
+  /** Oracle for A10's observable truncation semantics, shared by
+    * `coord_truncate` (codegen'd rank-dispatch path) and
+    * `q_udf_geo_truncate` (generic string-walk UDF path) — both paths must
+    * produce the same ≤3-component positions at both ends of the nested
+    * structure, so they pair with the SAME SQL.
+    */
+  val coordTruncateSql: String =
+    s"""WITH $featuresCte
+SELECT id, geom_type, 3 AS n_components, lon AS x, lat AS y, alt AS z,
+  3 AS n_last,
+  CASE geom_type WHEN 'Point' THEN lon WHEN 'LineString' THEN lon + 1
+       WHEN 'MultiPolygon' THEN lon + 2 END AS xl,
+  CASE geom_type WHEN 'Point' THEN lat WHEN 'LineString' THEN lat + 1
+       WHEN 'MultiPolygon' THEN lat + 3 END AS yl,
+  CASE geom_type WHEN 'Point' THEN alt WHEN 'LineString' THEN alt + 1
+       WHEN 'MultiPolygon' THEN alt END AS zl
+FROM features WHERE $mainWhere ORDER BY id"""
+
+  /** Flatten a truncated-geometry frame to the scalar columns
+    * [[coordTruncateSql]] compares (first/last position components).
+    */
+  def truncatedScalars(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pos = CalTopo.firstPosition(col("geometry"))
+    val lpos = CalTopo.lastPosition(col("geometry"))
+    df.select(col("id"), col("geometry.type").as("geom_type"),
+      size(pos).as("n_components"),
+      element_at(pos, 1).as("x"), element_at(pos, 2).as("y"),
+      element_at(pos, 3).as("z"),
+      size(lpos).as("n_last"),
+      element_at(lpos, 1).as("xl"), element_at(lpos, 2).as("yl"),
+      element_at(lpos, 3).as("zl"))
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // A1 — scan: the feature table itself, flattened.
@@ -160,29 +194,10 @@ FROM features WHERE $mainWhere ORDER BY id""") { (s, d) =>
     // must be gone: n_components = 3 at BOTH ends of the nested structure —
     // the last position of a MultiPolygon lives in the last ring of the
     // last polygon, so the rank-4 branch is genuinely exercised).
-    Q("coord_truncate",
-      s"""WITH $featuresCte
-SELECT id, geom_type, 3 AS n_components, lon AS x, lat AS y, alt AS z,
-  3 AS n_last,
-  CASE geom_type WHEN 'Point' THEN lon WHEN 'LineString' THEN lon + 1
-       WHEN 'MultiPolygon' THEN lon + 2 END AS xl,
-  CASE geom_type WHEN 'Point' THEN lat WHEN 'LineString' THEN lat + 1
-       WHEN 'MultiPolygon' THEN lat + 3 END AS yl,
-  CASE geom_type WHEN 'Point' THEN alt WHEN 'LineString' THEN alt + 1
-       WHEN 'MultiPolygon' THEN alt END AS zl
-FROM features WHERE $mainWhere ORDER BY id""") { (s, d) =>
+    Q("coord_truncate", coordTruncateSql) { (s, d) =>
       val df = CalTopo.coordTruncate(
         CalTopo.projectNest(CalTopo.mainFlow(CalTopoFeatures.build(s, d))))
-      val pos = CalTopo.firstPosition(col("geometry"))
-      val lpos = CalTopo.lastPosition(col("geometry"))
-      df.select(col("id"), col("geometry.type").as("geom_type"),
-        size(pos).as("n_components"),
-        element_at(pos, 1).as("x"), element_at(pos, 2).as("y"),
-        element_at(pos, 3).as("z"),
-        size(lpos).as("n_last"),
-        element_at(lpos, 1).as("xl"), element_at(lpos, 2).as("yl"),
-        element_at(lpos, 3).as("zl"))
-        .orderBy("id")
+      truncatedScalars(df)
     },
 
     // A12 — point branch enrichment.

@@ -293,14 +293,18 @@ ORDER BY l_returnflag, status""") { (s, d) =>
     },
 
     // B24b — scalar UDF: generic-rank GeoJSON truncation over the feature
-    // table (semantics pinned against the codegen'd path in ExtraSpec).
-    Q.noOracle("q_udf_geo_truncate") { (s, d) =>
+    // table. Oracle-paired with the SAME SQL as coord_truncate (r5 VERDICT
+    // item 4): the UDF's string-walk output is parsed back to positions and
+    // must land on the same ≤3-component scalars as the codegen'd
+    // rank-dispatch path (string-level identity is additionally pinned by
+    // ExtraSpec).
+    Q("q_udf_geo_truncate", CalTopoQueries.coordTruncateSql) { (s, d) =>
       val truncUdf = udf(truncateCoordsJson)
-      CalTopo.mainFlow(CalTopoFeatures.build(s, d))
-        .select(col("id"),
-          col("geometry.type").as("geom_type"),
-          truncUdf(col("geometry.coordinates")).as("coords3"))
-        .orderBy("id")
+      val df = CalTopo.projectNest(CalTopo.mainFlow(CalTopoFeatures.build(s, d)))
+        .withColumn("geometry",
+          struct(col("geometry.type").as("type"),
+            truncUdf(col("geometry.coordinates")).as("coordinates")))
+      CalTopoQueries.truncatedScalars(df)
     },
 
     // B24c — generator (UDTF-shaped): typed Dataset.flatMap exploding each

@@ -96,12 +96,15 @@ class ExtraSpec extends SparkSpec {
   }
 
   test("generic-rank UDF truncation equals the codegen'd typed path on all driver rows") {
+    // STRING-level identity, stronger than the shared scalar oracle the
+    // q_udf_geo_truncate query now pairs with: the UDF's raw-text walk and
+    // the parse/truncate/re-serialize path must emit identical JSON.
     val typed = CalTopo.coordTruncate(
       CalTopo.mainFlow(CalTopoFeatures.build(spark, sfDir)))
       .select(col("id"), col("geometry.coordinates").as("c"))
-    val viaUdf = Registry.all.find(_.name == "q_udf_geo_truncate").get
-      .build(spark, sfDir)
-      .select(col("id"), col("coords3").as("c"))
+    val truncUdf = udf(ExtraQueries.truncateCoordsJson)
+    val viaUdf = CalTopo.mainFlow(CalTopoFeatures.build(spark, sfDir))
+      .select(col("id"), truncUdf(col("geometry.coordinates")).as("c"))
     assert(viaUdf.exceptAll(typed).count() == 0)
     assert(typed.exceptAll(viaUdf).count() == 0)
   }

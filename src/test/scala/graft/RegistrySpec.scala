@@ -10,22 +10,22 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 111 queries, 99 oracle-paired, 12 rows-only") {
+  test("declared surface: 111 queries, 100 oracle-paired, 11 rows-only") {
     val all = Registry.all
     assert(all.size == 111, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 99,
+    assert(all.count(_.oracle.isDefined) == 100,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
     // ops, each value-pinned by a named spec (SURVEY.md §2.1).
-    // q_multimodal_decode moved to the oracle-paired set in r5: the real
-    // PNG codec's pixel digest is SQL-reconstructible.
+    // q_multimodal_decode moved to the oracle-paired set in r5 (the real
+    // PNG codec's pixel digest is SQL-reconstructible); q_udf_geo_truncate
+    // in r6 (it shares coord_truncate's scalar oracle).
     assert(rowsOnly == Set(
       "q_agg_approx_distinct", "q_percentile_approx",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
       "q_dedup_clusters_exact_first",
       "q_dedup_pipeline", "q_dedup_pipeline_exact_first",
-      "q_knn_lsh", "q_knn_lsh_dedup", "q_knn_ivf",
-      "q_udf_geo_truncate"))
+      "q_knn_lsh", "q_knn_lsh_dedup", "q_knn_ivf"))
   }
 }
