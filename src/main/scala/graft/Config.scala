@@ -19,7 +19,21 @@ final case class Config(
       * "null"-the-string and 0-opacity are corrupt style data no
       * consumer wants unless migrating bit-for-bit.
       */
-    strictJsSemantics: Boolean = false)
+    strictJsSemantics: Boolean = false,
+    /** Incremental state cursor for the map pull: the reference URL is
+      * `/api/v1/map/<ShareId>/since/<T>` with T hardcoded to -500 = full
+      * state (`task.ts:68`). A non-negative T pulls only features updated
+      * since T; [[graft.sources.GeoJsonSource]] honors the same value as
+      * its `since` read option for non-HTTP fetch units.
+      */
+    since: Long = -500L) {
+
+  /** The reference's map-state URL for this config (`task.ts:68`) — the
+    * fetch unit a production read would hand to GeoJsonSource.
+    */
+  def stateUrl: String =
+    s"https://caltopo.com/api/v1/map/$shareId/since/$since"
+}
 
 object Config {
   /** Parse from an env-style map; missing required key => IllegalArgument
@@ -41,11 +55,18 @@ object Config {
           throw new IllegalArgumentException(s"$k must be an int, got '$v'")
       }
     }.getOrElse(dflt)
+    def long(k: String, dflt: Long) = env.get(k).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$k must be a long, got '$v'")
+      }
+    }.getOrElse(dflt)
     Config(
       shareId = shareId,
       debug = bool("DEBUG", dflt = false),
       sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
       cpus = int("SPARK_GRAFT_CPUS", 4),
-      strictJsSemantics = bool("GRAFT_STRICT_JS", dflt = false))
+      strictJsSemantics = bool("GRAFT_STRICT_JS", dflt = false),
+      since = long("GRAFT_SINCE", -500L))
   }
 }

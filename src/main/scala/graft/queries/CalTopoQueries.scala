@@ -103,7 +103,11 @@ FROM features WHERE $mainWhere ORDER BY id"""
 
   val all: Seq[Q] = Seq(
 
-    // A1 — scan: the feature table itself, flattened.
+    // A1 — scan: the feature table itself, flattened. The reference pull
+    // is `/api/v1/map/<ShareId>/since/-500` (task.ts:68) — a full-state
+    // read; the DSv2 source (GeoJsonSource) declares the same `since`
+    // cursor as a read option for incremental pulls (SourceSinkSpec pins
+    // since-T ≡ full-read-filtered).
     Q("scan_source",
       s"""WITH $featuresCte
 SELECT id, class, title, updated, folder_id, geom_type

@@ -83,7 +83,7 @@ object FeatureCollectionSink {
       .mode("append").save()
 }
 
-class FcSinkTable(dir: String, prefix: String, spool: String,
+class FcSinkTable(dir: String, prefix: String, val spool: String,
     deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
     extends Table with SupportsWrite {
   override def name(): String = s"featurecollection-sink($dir)"

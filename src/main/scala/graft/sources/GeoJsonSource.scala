@@ -27,7 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * `from_json(featureSchema)`) is a downstream, catalyst-optimizable step,
   * exactly like the reference's envelope-then-`typed()` split.
   *
-  * Usage: spark.read.format("graft.sources.GeoJsonSource").load(path).
+  * Incremental cursor: the reference URL embeds `since/<timestamp>`
+  * (`task.ts:68` — it always passes `-500`, i.e. full state, and CalTopo's
+  * server returns only features updated since T otherwise). The same
+  * semantics are declared here as a `since` read option applied AT THE
+  * FETCH UNIT, before rows ever enter the scan: a negative T is the
+  * reference's full-state pull, a non-negative T keeps exactly the
+  * features whose `properties.updated >= T` (features without a numeric
+  * `updated` stamp cannot prove recency and are excluded, matching a
+  * post-hoc `updated >= T` filter's NULL semantics — SourceSinkSpec pins
+  * the equivalence). [[graft.Config.stateUrl]] renders the reference URL
+  * from the same cursor.
+  *
+  * Usage: spark.read.format("graft.sources.GeoJsonSource").load(path)
+  *   [.option("since", t)].
   */
 class GeoJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -62,34 +75,37 @@ class GeoJsonTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // fetch retry policy rides the per-read options (`.option("fetch.maxAttempts", ...)`)
+    // fetch retry policy + incremental cursor ride the per-read options
+    // (`.option("fetch.maxAttempts", ...)`, `.option("since", t)`)
     () => new GeoJsonScan(paths,
       options.getInt("fetch.maxAttempts", 3),
-      options.getLong("fetch.backoffMs", 100L))
+      options.getLong("fetch.backoffMs", 100L),
+      options.getLong("since", -500L))
 }
 
-class GeoJsonScan(paths: Seq[String], maxAttempts: Int, backoffMs: Long)
-    extends Scan with Batch {
+class GeoJsonScan(paths: Seq[String], maxAttempts: Int, backoffMs: Long,
+    since: Long) extends Scan with Batch {
   override def readSchema(): StructType = GeoJsonSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => GeoJsonPartition(p, maxAttempts, backoffMs): InputPartition).toArray
+    paths.map(p =>
+      GeoJsonPartition(p, maxAttempts, backoffMs, since): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[GeoJsonPartition]
-      new GeoJsonReader(p.path, p.maxAttempts, p.backoffMs)
+      new GeoJsonReader(p.path, p.maxAttempts, p.backoffMs, p.since)
     }
 }
 
 case class GeoJsonPartition(path: String, maxAttempts: Int = 3,
-    backoffMs: Long = 100L) extends InputPartition
+    backoffMs: Long = 100L, since: Long = -500L) extends InputPartition
 
 /** Parses one FeatureCollection document into feature rows. Accepts either
   * a bare FeatureCollection or the reference's envelope
   * `{result: {state: <FeatureCollection>}}` (`task.ts:71-88`).
   */
-class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L)
-    extends PartitionReader[InternalRow] {
+class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L,
+    since: Long = -500L) extends PartitionReader[InternalRow] {
   private val features: Iterator[JsonNode] = {
     // the fetch: transport picked by scheme (file, or live HTTP GET for
     // http(s):// fetch units — reference task.ts:70); transient faults
@@ -102,7 +118,15 @@ class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L)
     }
     val fc =
       if (root.has("result")) root.path("result").path("state") else root
-    fc.path("features").elements().asScala
+    // since/<T> cursor (task.ts:68): negative = full state; otherwise keep
+    // features updated at/after T — applied here at the fetch unit, so a
+    // downstream scan never sees stale rows
+    fc.path("features").elements().asScala.filter { f =>
+      since < 0 || {
+        val u = f.path("properties").path("updated")
+        u.isNumber && u.asLong() >= since
+      }
+    }
   }
 
   private var current: InternalRow = _

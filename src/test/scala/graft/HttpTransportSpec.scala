@@ -190,6 +190,66 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent apps sharing an HTTP target deliver independently via per-app spools") {
+    import graft.sources.{FcBatchWrite, FcCommit, FcWriter, FeatureCollectionSink, FcSinkTable}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // the r4 ADVICE fix scoped the DEFAULT spool per application. Pin both
+    // halves of the property:
+    // 1. derivation — an HTTP-target table without an explicit spoolDir
+    //    lands on a spool embedding applicationId + startTime;
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", "http://example.invalid/submit")
+    val table = new FeatureCollectionSink()
+      .getTable(FeatureCollectionSink.inputSchema, Array.empty, props)
+      .asInstanceOf[FcSinkTable]
+    val sc = spark.sparkContext
+    assert(table.spool.contains(sc.applicationId) &&
+      table.spool.contains(sc.startTime.toString),
+      s"default HTTP spool is not app-scoped: ${table.spool}")
+    // 2. isolation — task ids are per-app counters, so two apps WILL
+    //    produce identical (partitionId, taskId) pairs. In one shared
+    //    spool those writers collide on the same temp path (the pre-fix
+    //    cross-delivery hazard); in per-app spools they cannot, and both
+    //    apps' documents arrive intact at the shared target.
+    def row(s: String) = new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+    val shared = java.nio.file.Files.createTempDirectory("graft-shared-spool").toString
+    val sharedA = new FcWriter(shared, "doc", 0, 7L)
+    val sharedB = new FcWriter(shared, "doc", 0, 7L)
+    sharedA.write(row("""{"id":"a"}"""))
+    sharedB.write(row("""{"id":"b"}"""))
+    val ctA = sharedA.commit().asInstanceOf[FcCommit]
+    val ctB = sharedB.commit().asInstanceOf[FcCommit]
+    assert(ctA.tempPath == ctB.tempPath,
+      "same (partition, task) ids in one spool MUST collide — the hazard the fix removes")
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer("/submit" -> { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, Array.emptyByteArray)
+    }) { base =>
+      val spoolA = java.nio.file.Files.createTempDirectory("graft-app-a").toString
+      val spoolB = java.nio.file.Files.createTempDirectory("graft-app-b").toString
+      val appA = new FcWriter(spoolA, "doc", 0, 7L)
+      val appB = new FcWriter(spoolB, "doc", 0, 7L)
+      appA.write(row("""{"id":"a"}"""))
+      appB.write(row("""{"id":"b"}"""))
+      val cA = appA.commit().asInstanceOf[FcCommit]
+      val cB = appB.commit().asInstanceOf[FcCommit]
+      assert(cA.tempPath != cB.tempPath)
+      // interleaved commits, as two concurrent apps would produce
+      new FcBatchWrite(s"$base/submit", "doc", spoolA).commit(Array(cA))
+      new FcBatchWrite(s"$base/submit", "doc", spoolB).commit(Array(cB))
+      val bodies = received.toArray(Array.empty[String]).sorted.toSeq
+      assert(bodies == Seq(
+        """{"type":"FeatureCollection","features":[{"id":"a"}]}""",
+        """{"type":"FeatureCollection","features":[{"id":"b"}]}"""),
+        s"cross-delivery or corruption: $bodies")
+      // each app swept exactly its own temps
+      assert(new java.io.File(spoolA).listFiles().isEmpty)
+      assert(new java.io.File(spoolB).listFiles().isEmpty)
+    }
+  }
+
   test("deliver follows method-preserving 307/308 with the body; 301/302/303 abort loudly") {
     val finalBody = new java.util.concurrent.atomic.AtomicReference[String]("")
     withServer(

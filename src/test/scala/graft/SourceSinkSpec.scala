@@ -45,6 +45,39 @@ class SourceSinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("since-T cursor read equals the full read filtered on updated >= T") {
+    // the reference URL's since/<timestamp> segment (task.ts:68): -500 =
+    // full state; non-negative T = only features updated at/after T. The
+    // source applies the cursor at the fetch unit, and the result must be
+    // indistinguishable from filtering a full pull.
+    val doc =
+      """{"type":"FeatureCollection","features":[
+        |{"id":"a","type":"Feature","properties":{"title":"A","updated":100}},
+        |{"id":"b","type":"Feature","properties":{"title":"B","updated":200}},
+        |{"id":"c","type":"Feature","properties":{"title":"C","updated":300}},
+        |{"id":"d","type":"Feature","properties":{"title":"D"}}
+        |]}""".stripMargin.replace("\n", "")
+    val p = Paths.get("/tmp/graft-geojson-since", "map.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, doc)
+    def read(opts: Map[String, String]) = {
+      val r = spark.read.format("graft.sources.GeoJsonSource")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(p.toString)
+    }
+    val full = read(Map.empty)
+    assert(full.count() == 4) // default = the reference's since/-500 pull
+    assert(read(Map("since" -> "-500")).count() == 4)
+    val sinceT = read(Map("since" -> "200"))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val fullFiltered = full
+      .filter(get_json_object(col("properties_json"), "$.updated") >= 200)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(sinceT == Seq("b", "c"))
+    assert(sinceT == fullFiltered,
+      "cursor read must equal post-hoc updated>=T filter (incl. null-updated rows)")
+  }
+
   test("geojson source reads envelope documents into feature rows") {
     val path = writeFixture("/tmp/graft-geojson-src")
     val df = spark.read.format("graft.sources.GeoJsonSource").load(path)
