@@ -30,8 +30,35 @@ object Bench {
     s"$cls: $rootMsg"
   }
 
+  /** Host-contention marker (VERDICT r5 item 5): a FIXED amount of pure
+    * single-threaded CPU work (an LCG fold — no allocation, no syscalls,
+    * not eliminable), timed. ~1 s on an uncontended host of this class;
+    * CPU steal / noisy neighbors inflate it proportionally, so a bench
+    * run that landed in the host's documented ±15-40% slow band is
+    * machine-identifiable from the published artifact alone instead of
+    * needing cross-round adjudication. The value is published as
+    * `spin_ms` in both the stdout JSON tail and bench_full.json.
+    */
+  private[graft] def spinMarkerMs(iters: Long = 600000000L): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < iters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    // publish the fold so the JIT cannot dead-code the loop
+    if (x == 42L) System.err.println("spin collision")
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // time the contention marker FIRST (after a short JIT warm pass), while
+    // nothing else in this JVM competes with it
+    spinMarkerMs(1000000L)
+    val spinMs = spinMarkerMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle sizing that survives a scale-up (r5): a FIXED partition count
     // equal to the core count is right at sf0.1 (one wave, no scheduling
@@ -199,7 +226,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // The ONE stdout JSON line must fit the tail window WITH sbt's trailing
@@ -211,7 +238,9 @@ object Bench {
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
-    val suffix = s"""},"sf":"$sfDir"}"""
+    // spin_ms rides the suffix so it survives the driver's tail window
+    // even when per-query entries fill the budget
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>

@@ -44,4 +44,14 @@ class BenchJsonSpec extends AnyFunSuite {
     val huge = new RuntimeException("x" * 10000)
     assert(Bench.errorHead(huge).length < 300)
   }
+
+  test("host-contention spin marker measures fixed CPU work and scales with it") {
+    // the marker must time genuine work: positive, and ~10x the iterations
+    // takes materially longer (loose factor — this spec also runs on
+    // contended hosts, which is the very condition the marker reports)
+    val small = Bench.spinMarkerMs(20000000L)
+    val large = Bench.spinMarkerMs(200000000L)
+    assert(small > 0.0 && large > 0.0)
+    assert(large > small * 2, s"spin not proportional to work: $small vs $large")
+  }
 }
