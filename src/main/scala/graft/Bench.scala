@@ -92,7 +92,7 @@ object Bench {
       val bySize = dirBytes / (32L << 20)
       math.min(math.max(bySize, cpus.toLong), cpus.toLong * 32).toString
     })
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -102,7 +102,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for A/B experiments through the SAME
+    // measurement protocol (e.g. SPARK_GRAFT_CONF=
+    // "spark.sql.adaptive.advisoryPartitionSizeInBytes=268435456;k2=v2")
+    sys.env.get("SPARK_GRAFT_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: parquet footers/IO cache + the
     // scan codepaths, so the first measured query doesn't absorb one-time

@@ -243,22 +243,39 @@ object StreamRunner {
     q.awaitTermination()
   }
 
-  /** Demo main: run both streaming aggs over a sf dir and print row counts.
+  /** Demo/measurement main: run both streaming aggs over a sf dir through
+    * the REAL streaming path (file source -> state store -> memory sink)
+    * and print per-agg wall time — the at-scale evidence for the state
+    * store posture (VERDICT r5 item 6). SPARK_GRAFT_CPUS sizes the local
+    * master (default 4, the spec posture).
     * Usage: runMain graft.streaming.StreamRunner <sfDir>
     */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tumbling = runToMemory(spark, tumblingAgg(eventsStream(spark, sfDir)), "t")
-    val sessions = runToMemory(spark, sessionAgg(eventsStream(spark, sfDir)), "s")
-    println(s"tumbling windows: ${tumbling.count()}, sessions: ${sessions.count()}")
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[streambench] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val tumbling = timed("tumbling (1h windows, 10m watermark)") {
+      val t = runToMemory(spark, tumblingAgg(eventsStream(spark, sfDir)), "t")
+      t.count()
+    }
+    val sessions = timed("session (per-user 10m gap, 10m watermark)") {
+      val s = runToMemory(spark, sessionAgg(eventsStream(spark, sfDir)), "s")
+      s.count()
+    }
+    println(s"tumbling windows: $tumbling, sessions: $sessions")
     spark.stop()
   }
 }
