@@ -90,12 +90,16 @@ class KnnSpec extends SparkSpec {
 
   test("dedup-before-index knn survives a mega-duplicate group with bounded per-group state") {
     // one vector x 1e5 copies: the shape VERDICT r5 item 1 called out —
-    // a collect_list membership would build a 100k-element array in ONE
-    // aggregation buffer (single-row agg state cannot spill). The row-form
-    // membership must (a) plan with WindowGroupLimit slices and no
-    // collect_list, (b) produce the provably-correct top-k for mega-group
-    // members: every member's neighbors are the k lowest co-member ids at
-    // cosine(v,v), which outranks every cross-group candidate.
+    // a whole-group collect_list membership would build a 100k-element
+    // array in ONE aggregation buffer (single-row agg state cannot
+    // spill). The bounded shape aggregates each group's k+1 lowest ids
+    // with BottomIds, whose buffer is capped at k+1 longs by
+    // construction (unit-pinned below), so no per-group array anywhere
+    // scales with group size. Pin (a) the plan carries the bounded
+    // aggregate and NO collect_list, (b) the provably-correct top-k for
+    // mega-group members: every member's neighbors are the k lowest
+    // co-member ids at cosine(v,v), which outranks every cross-group
+    // candidate.
     val megaN = 100000
     val base = emb.select(col("vec_id"), col("embedding"))
     val v0 = emb.filter(col("vec_id") === 0L).select(col("embedding"))
@@ -105,8 +109,19 @@ class KnnSpec extends SparkSpec {
     val corpus = base.unionByName(mega)
     val res = Vectors.knnLshDeduped(corpus, k = 5)
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), "rank-limit slices must compile to WindowGroupLimit")
-    assert(!plan.contains("collect_list"), "membership must never be a per-group array")
+    assert(!plan.contains("collect_list"),
+      "no whole-group array may be collected anywhere in the plan")
+    // the groups aggregate itself hides behind the lazy localCheckpoint
+    // boundary (Scan ExistingRDD) in the consumer plan — pin its shape
+    // directly: the SAME groupBy knnLshDeduped builds must plan the
+    // bounded aggregate, and no collect_list
+    val gplan = corpus
+      .groupBy(xxhash64(col("embedding")), col("embedding"))
+      .agg(graft.functions.BottomIds(6)(col("vec_id")))
+      .queryExecution.executedPlan.toString
+    assert(gplan.toLowerCase.contains("bottomids"),
+      s"membership slicing must go through the bounded BottomIds aggregate:\n$gplan")
+    assert(!gplan.contains("collect_list"))
     // mega group = vec_id 0 + the 1e5 copies; every member gets exactly k
     // neighbors (k co-members at cosine(v,v) always fill the top-k)
     val inMega = col("id_a") === 0L || col("id_a") >= 10000000L
@@ -124,6 +139,25 @@ class KnnSpec extends SparkSpec {
     val midNbrs = megaRows.filter(col("id_a") === 10000050L)
       .select(explode(col("nbrs"))).collect().map(_.getLong(0)).toSeq
     assert(midNbrs == Seq(0L, 10000000L, 10000001L, 10000002L, 10000003L))
+  }
+
+  test("BottomIds buffer is capped at n however many rows reduce into it") {
+    val agg = new graft.functions.BottomIds(6)
+    // stream 1e6 descending values through reduce: the buffer must never
+    // exceed 6 elements and must end as the 6 smallest, sorted
+    var b = agg.zero
+    var v = 1000000L
+    while (v > 0) { b = agg.reduce(b, v); assert(b.length <= 6); v -= 1 }
+    assert(b.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // merge keeps the bound and the order
+    val m = agg.merge(Array(1L, 3L, 9L), Array(2L, 4L, 5L, 7L, 8L, 10L))
+    assert(m.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    // ascending insert order works too (append path)
+    var c = agg.zero
+    (1L to 10L).foreach { x => c = agg.reduce(c, x) }
+    assert(c.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // singleton and sub-cap groups pass through exactly
+    assert(agg.reduce(agg.zero, 42L).toSeq == Seq(42L))
   }
 
   test("ivf with nprobe = all cells equals brute force exactly") {

@@ -70,14 +70,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_knn_ivf" -> 6,
     "q_knn_lsh" -> 6,
     // dedup-before-index: rep-level bucket join + group ranking window +
-    // capped expansion joins + member-level window; the membership
-    // window itself hides behind the lazy localCheckpoint boundary.
-    // r6 re-record 9 -> 13: row-form membership (rank-limited slices +
-    // joins instead of one collect_list array) adds four exchanges, every
-    // one over bare-id (rep, member) rows — the deliberate price of
-    // bounded per-group state (VERDICT r5 item 1); the corpus-scale
-    // stages are unchanged
-    "q_knn_lsh_dedup" -> 13,
+    // capped expansion joins + member-level window; the BottomIds groups
+    // aggregate hides behind the lazy localCheckpoint boundary.
+    // r6 re-record 9 -> 11: bounded membership (BottomIds slice + the
+    // members hash-join) adds two exchanges, both over bare-id or
+    // group-count-sized frames — the price of bounded per-group state
+    // (VERDICT r5 item 1); the corpus-scale stages are unchanged
+    "q_knn_lsh_dedup" -> 11,
     "q_map_funcs" -> 1,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
