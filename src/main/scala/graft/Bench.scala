@@ -98,6 +98,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      // AQE coalesce target 64 MB -> 32 MB (r6, measured at sf100): rows
+      // in post-aggregate shuffles are far smaller than scan rows, so a
+      // byte-sized advisory overpacks GROUPS per task — Q18's 150 M-group
+      // first aggregate ran 111 s at 64 MB, 53 s at 32 MB, 274 s at
+      // 256 MB (best-of-2, clean-host spin). 16 MB measured 59 s (past
+      // the optimum), and the sf0.1 full surface is unchanged within the
+      // host band at 32 MB.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
