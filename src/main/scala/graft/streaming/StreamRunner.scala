@@ -18,18 +18,32 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamRunner {
 
-  /** The events parquet dir as a bounded file stream with the batch schema.
-    * maxFilesPerTrigger=1 keeps multi-file dirs incremental (micro-batches).
+  /** The events parquet table as a bounded file stream with the batch
+    * schema. maxFilesPerTrigger=1 keeps multi-file dirs incremental
+    * (micro-batches). Handles both physical layouts the data generators
+    * produce: a single `events.parquet` FILE (driver testdata — stream
+    * the sf dir with a glob selecting just that file) and an
+    * `events.parquet` DIRECTORY of part files (ScaleGen output — stream
+    * the directory itself; a file-glob on the parent would match nothing
+    * and silently stream zero rows, the r6 sf100 measurement bug).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source requires a directory: stream the sf dir with a glob
-    // that selects just the events file
-    val raw = spark.readStream
+    // files-per-micro-batch knob (default 1 = fully incremental). A
+    // multi-file table is NOT time-ordered across part files, so a
+    // 1-file replay legitimately watermark-drops most rows as late; the
+    // at-scale state-store measurement sets this high enough to replay
+    // in one batch, where the watermark cannot drop anything and the
+    // result is batch-equivalent (the StreamingSpec semantic).
+    val reader = spark.readStream
       .schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .option("maxFilesPerTrigger",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_FILES", "1"))
+    val raw =
+      if (new java.io.File(s"$sfDir/events.parquet").isDirectory)
+        reader.parquet(s"$sfDir/events.parquet")
+      else
+        reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     // the ONE timestamp normalization, shared with the batch loaders —
     // nanos-as-long and timezone-less micros generations both become
     // micros TimestampType (see Tables.normalizeTs)
@@ -267,15 +281,31 @@ object StreamRunner {
       println(f"[streambench] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val tumbling = timed("tumbling (1h windows, 10m watermark)") {
-      val t = runToMemory(spark, tumblingAgg(eventsStream(spark, sfDir)), "t")
-      t.count()
+    // drain through the noop sink: the memory sink collects every output
+    // row on the driver, which at 100 M events (tens of millions of
+    // sessions, complete-mode re-emission per trigger) measures driver
+    // collection, not the state store. Complete mode still materializes
+    // the full state store per trigger; the noop sink just discards the
+    // driver copy.
+    def drainNoop(agg: DataFrame, mode: String): Unit = {
+      val q = agg.writeStream.format("noop")
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
-    val sessions = timed("session (per-user 10m gap, 10m watermark)") {
-      val s = runToMemory(spark, sessionAgg(eventsStream(spark, sfDir)), "s")
-      s.count()
+    timed("tumbling (1h windows, 10m watermark)") {
+      drainNoop(tumblingAgg(eventsStream(spark, sfDir)), "complete")
     }
-    println(s"tumbling windows: $tumbling, sessions: $sessions")
+    timed("session (per-user 10m gap, 10m watermark)") {
+      drainNoop(sessionAgg(eventsStream(spark, sfDir)), "complete")
+    }
+    // small-dir sanity: row counts via the memory sink (the demo shape)
+    if (!new java.io.File(s"$sfDir/events.parquet").isDirectory) {
+      val tumbling = runToMemory(spark, tumblingAgg(eventsStream(spark, sfDir)), "t")
+      val sessions = runToMemory(spark, sessionAgg(eventsStream(spark, sfDir)), "s")
+      println(s"tumbling windows: ${tumbling.count()}, sessions: ${sessions.count()}")
+    }
     spark.stop()
   }
 }
