@@ -72,6 +72,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BottomIds: any reduce/merge tree equals sorted.take(n), buffer never exceeds n") {
+    // the aggregate's correctness rests on reduce and merge agreeing with
+    // the naive sort-take under ANY partitioning Spark chooses — model that
+    // directly: random ids (duplicates included, though vec_ids are unique
+    // in production), random n, random split points
+    val idGen = Gen.listOf(Gen.choose(-1000L, 1000L))
+    (1L to 20L).foreach { seed =>
+      val ids = sample(idGen, seed)
+      val n = sample(Gen.choose(1, 8), seed + 1000)
+      val agg = new graft.functions.BottomIds(n)
+      val expected = ids.sorted.take(n)
+      val folded = ids.foldLeft(agg.zero)(agg.reduce)
+      assert(folded.toList == expected, s"seed=$seed n=$n reduce-fold")
+      // random binary merge tree: split into 1-4 chunks, fold each, merge
+      val nChunks = sample(Gen.choose(1, 4), seed + 2000)
+      val chunks = if (ids.isEmpty) Seq(Seq.empty[Long])
+        else ids.grouped(math.max(1, ids.length / nChunks)).toSeq
+      val merged = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(merged.toList == expected, s"seed=$seed n=$n merge-tree")
+      assert(folded.length <= n && merged.length <= n, s"seed=$seed cap")
+    }
+  }
+
+  test("BottomIds under Spark grouping equals sliced sort_array(collect_list)") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val n = sample(Gen.choose(1, 5), seed)
+      val rows = sample(Gen.listOfN(200,
+        Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 10000L))), seed + 500)
+      val df = rows.toDF("g", "id").repartition(7)
+      val got = df.groupBy(col("g"))
+        .agg(graft.functions.BottomIds(n)(col("id")).as("low"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).sorted.take(n) }
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("exact dedup partitions the input: group sizes sum to input size, keepers are input ids") {
     import spark.implicits._
     (1L to 3L).foreach { seed =>
