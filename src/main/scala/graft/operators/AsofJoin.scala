@@ -36,7 +36,7 @@ object AsofJoin {
       right: DataFrame, rightTime: String,
       key: String, payloadCols: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -54,7 +54,7 @@ object AsofJoin {
           if (c == key) col(key)
           else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("_t") :+ col("_side")) ++ payloadCols.map(col): _*)
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
     // left rows carry null tie-break values; nulls-first keeps them ordered
     // AFTER all same-instant right rows only via _side, so the tie-break
     // columns never reorder a left row relative to right rows
