@@ -53,6 +53,19 @@ object Bench {
     ms
   }
 
+  /** Spin-normalized total (VERDICT r6 item 4): `value × (1000/spin_ms)`,
+    * scaling the measured wall total by how far the host's single-thread
+    * CPU marker sat from its uncontended ~1 s reference — so cross-round
+    * adjudication can compare totals without eyeballing `spin_ms`. LIMITS
+    * (also documented in BASELINE.md): the spin measures CPU steal only,
+    * not I/O or memory-bandwidth contention, and assumes slowdown scales
+    * linearly with steal — treat the normalized value as a first-order
+    * correction, not a clean-host measurement. A non-positive spin (clock
+    * trouble) falls back to the raw value rather than dividing by it.
+    */
+  private[graft] def normalizedTotal(value: Double, spinMs: Double): Double =
+    if (spinMs > 0.0) value * (1000.0 / spinMs) else value
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // time the contention marker FIRST (after a short JIT warm pass), while
@@ -244,7 +257,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // The ONE stdout JSON line must fit the tail window WITH sbt's trailing
@@ -256,9 +269,9 @@ object Bench {
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
-    // spin_ms rides the suffix so it survives the driver's tail window
-    // even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
+    // spin_ms + the spin-normalized total ride the suffix so they survive
+    // the driver's tail window even when per-query entries fill the budget
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":"$sfDir"}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>

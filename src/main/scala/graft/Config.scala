@@ -33,6 +33,21 @@ final case class Config(
     */
   def stateUrl: String =
     s"https://caltopo.com/api/v1/map/$shareId/since/$since"
+
+  /** Read options for [[graft.sources.GeoJsonSource]] rendered from this
+    * config: the incremental cursor plus the fetch-side `verbose: DEBUG`
+    * pass-through (`task.ts:87` — the reference hands `env.DEBUG` to its
+    * typed fetch). `debug=true` turns on per-exchange transport logging
+    * ([[graft.sources.TransportLog]]).
+    */
+  def scanOptions: Map[String, String] =
+    Map("since" -> since.toString, "verbose" -> debug.toString)
+
+  /** Writer options for [[graft.sources.FeatureCollectionSink]]: the
+    * submit-side `verbose: DEBUG` (`task.ts:158`).
+    */
+  def sinkOptions: Map[String, String] =
+    Map("verbose" -> debug.toString)
 }
 
 object Config {

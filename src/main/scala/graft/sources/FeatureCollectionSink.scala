@@ -63,7 +63,10 @@ class FeatureCollectionSink extends TableProvider {
             s"/graft-fc-spool-${sc.applicationId}-${sc.startTime}"
         } else path),
       Option(properties.get("deliver.maxAttempts")).map(_.toInt).getOrElse(3),
-      Option(properties.get("deliver.backoffMs")).map(_.toLong).getOrElse(100L))
+      Option(properties.get("deliver.backoffMs")).map(_.toLong).getOrElse(100L),
+      // the submit-side `verbose: DEBUG` pass-through (task.ts:158);
+      // Config.sinkOptions renders it from Config.debug
+      Option(properties.get("verbose")).exists(_.toBoolean))
   }
 }
 
@@ -84,7 +87,8 @@ object FeatureCollectionSink {
 }
 
 class FcSinkTable(dir: String, prefix: String, val spool: String,
-    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L,
+    verbose: Boolean = false)
     extends Table with SupportsWrite {
   override def name(): String = s"featurecollection-sink($dir)"
   override def schema(): StructType = FeatureCollectionSink.inputSchema
@@ -98,13 +102,14 @@ class FcSinkTable(dir: String, prefix: String, val spool: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new FcBatchWrite(dir, prefix, spool, deliverMaxAttempts, deliverBackoffMs)
+          new FcBatchWrite(dir, prefix, spool, deliverMaxAttempts,
+            deliverBackoffMs, verbose)
         // streaming epochs scope the document names by micro-batch id, so
         // successive epochs never collide and a replayed epoch (failure
         // recovery) overwrites its own documents idempotently
         override def toStreaming: streaming.StreamingWrite =
           new FcStreamingWrite(dir, prefix, spool,
-            deliverMaxAttempts, deliverBackoffMs)
+            deliverMaxAttempts, deliverBackoffMs, verbose)
       }
     }
   }
@@ -115,10 +120,11 @@ class FcSinkTable(dir: String, prefix: String, val spool: String,
   * re-runs renames onto the same names).
   */
 class FcStreamingWrite(dir: String, prefix: String, spool: String,
-    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L,
+    verbose: Boolean = false)
     extends streaming.StreamingWrite {
   private def batch = new FcBatchWrite(dir, prefix, spool,
-    deliverMaxAttempts, deliverBackoffMs)
+    deliverMaxAttempts, deliverBackoffMs, verbose)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     new FcStreamingWriterFactory(spool, prefix)
@@ -135,7 +141,8 @@ case class FcCommit(tempPath: String, finalName: String)
   extends WriterCommitMessage
 
 class FcBatchWrite(dir: String, prefix: String, spool: String,
-    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L)
+    deliverMaxAttempts: Int = 3, deliverBackoffMs: Long = 100L,
+    verbose: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FcWriterFactory(spool, prefix)
@@ -165,10 +172,13 @@ class FcBatchWrite(dir: String, prefix: String, spool: String,
       case FcCommit(null, _) => () // empty partition: nothing written
       case FcCommit(tmp, fin) =>
         // retry policy rides the writer options (`deliver.maxAttempts` /
-        // `deliver.backoffMs`), mirroring the GET side's `fetch.*` knobs
-        Fetch.withRetry(deliverMaxAttempts, deliverBackoffMs) {
-          HttpTransport.deliver(s"$base/$fin", Paths.get(tmp))
+        // `deliver.backoffMs`), mirroring the GET side's `fetch.*` knobs;
+        // `verbose` gates per-delivery logging (the reference's submit
+        // `verbose: DEBUG`, task.ts:158)
+        Fetch.withRetry(deliverMaxAttempts, deliverBackoffMs, verbose) {
+          HttpTransport.deliver(s"$base/$fin", Paths.get(tmp), verbose)
         }
+        TransportLog(verbose)(s"delivered $fin")
         Files.deleteIfExists(Paths.get(tmp))
       case other => throw new IllegalStateException(s"unexpected $other")
     }

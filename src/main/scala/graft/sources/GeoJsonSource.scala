@@ -80,40 +80,48 @@ class GeoJsonTable(paths: Seq[String]) extends Table with SupportsRead {
     () => new GeoJsonScan(paths,
       options.getInt("fetch.maxAttempts", 3),
       options.getLong("fetch.backoffMs", 100L),
-      options.getLong("since", -500L))
+      options.getLong("since", -500L),
+      // the reference's `verbose: DEBUG` fetch pass-through (task.ts:87);
+      // Config.scanOptions renders it from Config.debug
+      options.getBoolean("verbose", false))
 }
 
 class GeoJsonScan(paths: Seq[String], maxAttempts: Int, backoffMs: Long,
-    since: Long) extends Scan with Batch {
+    since: Long, verbose: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = GeoJsonSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p =>
-      GeoJsonPartition(p, maxAttempts, backoffMs, since): InputPartition).toArray
+      GeoJsonPartition(p, maxAttempts, backoffMs, since, verbose): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[GeoJsonPartition]
-      new GeoJsonReader(p.path, p.maxAttempts, p.backoffMs, p.since)
+      new GeoJsonReader(p.path, p.maxAttempts, p.backoffMs, p.since, p.verbose)
     }
 }
 
 case class GeoJsonPartition(path: String, maxAttempts: Int = 3,
-    backoffMs: Long = 100L, since: Long = -500L) extends InputPartition
+    backoffMs: Long = 100L, since: Long = -500L, verbose: Boolean = false)
+  extends InputPartition
 
 /** Parses one FeatureCollection document into feature rows. Accepts either
   * a bare FeatureCollection or the reference's envelope
   * `{result: {state: <FeatureCollection>}}` (`task.ts:71-88`).
   */
 class GeoJsonReader(path: String, maxAttempts: Int = 3, backoffMs: Long = 100L,
-    since: Long = -500L) extends PartitionReader[InternalRow] {
+    since: Long = -500L, verbose: Boolean = false)
+  extends PartitionReader[InternalRow] {
   private val features: Iterator[JsonNode] = {
     // the fetch: transport picked by scheme (file, or live HTTP GET for
     // http(s):// fetch units — reference task.ts:70); transient faults
     // (I/O, 5xx) retry in place (Fetch.withRetry), permanent faults (4xx,
     // malformed document) abort the task — reference fetch().typed()
-    // semantics split across transport, retry, and decode layers
-    val root = Fetch.withRetry(maxAttempts, backoffMs) {
-      val in = DocTransport.forTarget(path).open(path)
+    // semantics split across transport, retry, and decode layers;
+    // `verbose` gates per-exchange logging (the reference's
+    // `verbose: DEBUG`, task.ts:87)
+    val root = Fetch.withRetry(maxAttempts, backoffMs, verbose) {
+      val in = DocTransport.forTarget(path).open(path, verbose)
       try new ObjectMapper().readTree(in) finally in.close()
     }
     val fc =

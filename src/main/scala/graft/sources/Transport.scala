@@ -29,15 +29,37 @@ import java.time.Duration
   */
 trait DocTransport extends Serializable {
 
-  /** Open the document at `target` for reading (the A1 fetch). */
-  def open(target: String): InputStream
+  /** Open the document at `target` for reading (the A1 fetch). `verbose`
+    * is the reference's `verbose: DEBUG` fetch pass-through
+    * (`task.ts:87`): when set, the transport logs each exchange through
+    * [[TransportLog]].
+    */
+  def open(target: String, verbose: Boolean = false): InputStream
 
   /** Deliver the finished document `body` to `target` (the A14 submit).
     * File protocol: atomic rename (the caller owns set-aside/rollback).
     * HTTP protocol: POST — NOT atomic across documents; see
-    * [[FcBatchWrite.commit]] for the at-least-once contract.
+    * [[FcBatchWrite.commit]] for the at-least-once contract. `verbose` is
+    * the submit-side `verbose: DEBUG` (`task.ts:158`).
     */
-  def deliver(target: String, body: Path): Unit
+  def deliver(target: String, body: Path, verbose: Boolean = false): Unit
+}
+
+/** Debug-gated transport logging — the engine's rendering of the
+  * reference's `verbose: DEBUG` option on fetch and submit
+  * (`/root/reference/task.ts:87,158`: the typed-fetch wrapper and
+  * `submit()` both take a `verbose` flag that turns on per-exchange
+  * logging). Messages flow through a swappable sink so tests can assert
+  * the gating both ways; the default writes to stderr like the
+  * reference's `console.log`. The sink var is per-JVM (driver and each
+  * executor log locally — in local mode that is one JVM, on a cluster
+  * each executor's stderr, the normal Spark logging posture).
+  */
+object TransportLog {
+  @volatile var sink: String => Unit = s => Console.err.println(s)
+
+  def apply(verbose: Boolean)(msg: => String): Unit =
+    if (verbose) sink(s"[graft.transport] $msg")
 }
 
 object DocTransport {
@@ -52,12 +74,16 @@ object DocTransport {
 }
 
 object FileTransport extends DocTransport {
-  override def open(target: String): InputStream =
+  override def open(target: String, verbose: Boolean): InputStream = {
+    TransportLog(verbose)(s"open file $target")
     new FileInputStream(target) // FileNotFoundException => transient (Fetch)
+  }
 
-  override def deliver(target: String, body: Path): Unit =
+  override def deliver(target: String, body: Path, verbose: Boolean): Unit = {
+    TransportLog(verbose)(s"deliver (rename) $body -> $target")
     java.nio.file.Files.move(body, java.nio.file.Paths.get(target),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 /** HTTP status mapped onto the retry taxonomy. `Transient` extends
@@ -136,17 +162,20 @@ object HttpTransport extends DocTransport {
     }
   }
 
-  override def open(target: String): InputStream = {
+  override def open(target: String, verbose: Boolean): InputStream = {
+    TransportLog(verbose)(s"GET $target")
     val req = HttpRequest.newBuilder(URI.create(target)).GET().build()
     // buffer the document (the reference buffers the whole response too,
     // task.ts:70-88) so the deadline above covers every byte of it
     val resp = exchange(getClient, req, HttpResponse.BodyHandlers.ofByteArray())
+    TransportLog(verbose)(
+      s"GET $target -> ${resp.statusCode()} (${resp.body().length} bytes)")
     if (resp.statusCode() / 100 == 2)
       new java.io.ByteArrayInputStream(resp.body())
     else HttpStatusException.raise(resp.statusCode(), target)
   }
 
-  override def deliver(target: String, body: Path): Unit = {
+  override def deliver(target: String, body: Path, verbose: Boolean): Unit = {
     // Method-preserving redirects (307/308) are followed MANUALLY with the
     // body re-sent — the JDK's Redirect.NORMAL would also "follow"
     // 301/302/303 by re-issuing a bodyless GET (silent delivery loss), so
@@ -155,12 +184,14 @@ object HttpTransport extends DocTransport {
     var url = target
     var hops = 0
     while (true) {
+      TransportLog(verbose)(s"POST $url (${java.nio.file.Files.size(body)} bytes)")
       val req = HttpRequest.newBuilder(URI.create(url))
         .header("Content-Type", "application/geo+json")
         .POST(HttpRequest.BodyPublishers.ofFile(body))
         .build()
       val resp = exchange(postClient, req, HttpResponse.BodyHandlers.discarding())
       val code = resp.statusCode()
+      TransportLog(verbose)(s"POST $url -> $code")
       if (code / 100 == 2) return
       else if ((code == 307 || code == 308) && hops < 5) {
         val loc = resp.headers().firstValue("Location")

@@ -45,6 +45,18 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.errorHead(huge).length < 300)
   }
 
+  test("spin-normalized total scales by host contention and guards a bad spin") {
+    // spin at the uncontended 1 s reference: identity
+    assert(Bench.normalizedTotal(80.0, 1000.0) == 80.0)
+    // a 1.5x-contended host (spin 1500 ms) normalizes DOWN toward what a
+    // clean host would have measured; a fast host normalizes UP
+    assert(math.abs(Bench.normalizedTotal(90.0, 1500.0) - 60.0) < 1e-9)
+    assert(math.abs(Bench.normalizedTotal(60.0, 750.0) - 80.0) < 1e-9)
+    // degenerate spin (clock trouble) must not divide by zero
+    assert(Bench.normalizedTotal(80.0, 0.0) == 80.0)
+    assert(Bench.normalizedTotal(80.0, -5.0) == 80.0)
+  }
+
   test("host-contention spin marker measures fixed CPU work and scales with it") {
     // the marker must time genuine work: positive, and ~10x the iterations
     // takes materially longer (loose factor — this spec also runs on

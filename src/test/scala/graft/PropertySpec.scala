@@ -85,12 +85,26 @@ class PropertySpec extends SparkSpec {
       val expected = ids.sorted.take(n)
       val folded = ids.foldLeft(agg.zero)(agg.reduce)
       assert(folded.toList == expected, s"seed=$seed n=$n reduce-fold")
-      // random binary merge tree: split into 1-4 chunks, fold each, merge
-      val nChunks = sample(Gen.choose(1, 4), seed + 2000)
-      val chunks = if (ids.isEmpty) Seq(Seq.empty[Long])
-        else ids.grouped(math.max(1, ids.length / nChunks)).toSeq
-      val merged = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
-        .reduce(agg.merge)
+      // an ACTUAL randomized binary merge tree (ADVICE r6 — the earlier
+      // shape was a linear left-fold of chunk merges): recursively split
+      // at a random point, build each side, merge the two buffers. Random
+      // leaf cut-offs vary depth and balance, so non-linear shapes —
+      // merge(merge(a,b), merge(c,d)) and every skew between — are
+      // genuinely exercised, and every intermediate buffer is cap-checked.
+      val rnd = new scala.util.Random(seed * 7919 + n)
+      def build(xs: List[Long]): Array[Long] = {
+        val buf =
+          if (xs.length <= 1 || rnd.nextInt(4) == 0)
+            xs.foldLeft(agg.zero)(agg.reduce)
+          else {
+            val cut = 1 + rnd.nextInt(xs.length - 1)
+            val (l, r) = xs.splitAt(cut)
+            agg.merge(build(l), build(r))
+          }
+        assert(buf.length <= n, s"seed=$seed n=$n intermediate cap")
+        buf
+      }
+      val merged = build(ids.toList)
       assert(merged.toList == expected, s"seed=$seed n=$n merge-tree")
       assert(folded.length <= n && merged.length <= n, s"seed=$seed cap")
     }
