@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT `ntile(k)` — identical tile assignment to
+  * `ntile(k).over(Window.partitionBy(g).orderBy(v, id))` at ANY group size
+  * (reference behavior target: equi-depth binning over the reference
+  * engine's window surface; SURVEY.md §2 B10).
+  *
+  * The built-in window form serializes each partition-by group through ONE
+  * task (total-order semantics), which VERDICT r4 capped with a loud
+  * execution-time guard (10^7 rows/group) and VERDICT r6 asked to remove.
+  * This operator removes the cap by computing only the k−1 BOUNDARY KEYS
+  * of the total order distributively and binning every row by broadcast
+  * comparison — the same shape as the q_ntile_approx sibling, but at exact
+  * NTILE rank semantics including tie handling:
+  *
+  *  1. NTILE's tile boundaries sit at ranks cum_i = i·q + min(i, r) where
+  *     n = k·q + r (the first r tiles get q+1 rows). The boundary VALUES
+  *     at those ranks come from [[Percentiles.exact]] via its `rankFor`
+  *     override — sketch brackets at p=i/k, exact rank counts, bisection
+  *     refinement — so no aggregation buffer grows with group size.
+  *  2. The sort key is (v, id), so rows tied with a boundary VALUE split
+  *     between tiles by id. One aggregate pass computes per boundary the
+  *     exact below-count and tie-run size; the boundary's tie-break id is
+  *     then the (cum_i − below_i)-th smallest id WITHIN the tied run —
+  *     selected by sorted-collect when the run is ≤ `tieCap` ids, else by
+  *     driver-synced bisection on the id domain (interval strictly shrinks
+  *     every round; ≤ 64 rounds for long ids) until the remaining slice
+  *     fits the cap. Executor memory is bounded by `tieCap` at ANY tie-run
+  *     size — a 10^9-copy constant column costs log rounds, not an OOM.
+  *  3. tile = 1 + Σ_i [ (v, id) > (bv_i, bid_i) lexicographically ], a
+  *     broadcast join + codegen'd comparisons: no window, no per-group
+  *     serialization, embarrassingly parallel at any scale.
+  *
+  * Correctness of step 3: with unique (v, id) keys the map rank→key is
+  * monotone bijective, so #{boundaries with key < row key} =
+  * #{i : cum_i < rank(row)}, which is exactly ntile − 1 (NtileSpec pins
+  * equality against the window form, including mega-tie and n<k groups).
+  *
+  * CONTRACTS (documented, spec-pinned): the sort value must be non-null
+  * (null v rows would sort NULLS FIRST in Spark's window form; here they
+  * are excluded from the boundary math and surface with a NULL tile —
+  * same null posture as [[Percentiles.exact]], never a silent misbin);
+  * (g, v, id) must be a unique key for the
+  * assignment to be deterministic (true of the window form too). Like
+  * [[Percentiles.exact]], calling this runs the boundary jobs EAGERLY —
+  * the returned DataFrame is the input joined against a tiny broadcast
+  * boundary table.
+  */
+object Ntile {
+
+  def exact(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      idCol: Column,
+      k: Int,
+      outCol: String = "tile",
+      tieCap: Long = 1000000L,
+      maxRounds: Int = 128): DataFrame = {
+    require(k >= 2, "ntile needs k >= 2")
+    require(tieCap >= 1)
+
+    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"),
+        idCol.cast("long").as("id"))
+      .filter(col("v").isNotNull)
+
+    // -- boundary values at the exact NTILE ranks. The rank rule deviates
+    //    from p·n = i·n/k by at most |i·r/k − min(i,r)| < k rows, so the
+    //    sketch bracket stays enclosing when groups under ~2k/δ take the
+    //    whole-group [vmin, vmax] bracket (smallFloor below; Percentiles'
+    //    enclosure require still guards every target loudly).
+    val delta = 0.002
+    val smallFloor = math.max(10000L, math.ceil(2 * k / delta).toLong)
+    val rankFor: (Column, Column) => Column = (p, n) => {
+      val i = round(p * k).cast("long")
+      val q = (n / k).cast("long") // exact floor: integer-valued double < 2^53
+      i * q + least(i, n - q * k)
+    }
+    // checkpoint the one-row-per-group boundary frame: it feeds FOUR
+    // consumers (count pass, tie scan, wide pivot, and the probe inside),
+    // each of which would otherwise re-run the sketch/probe machinery
+    val bounds = Percentiles.exact(base, col("g"), col("v"),
+      targets = (1 to k - 1).map(i => (s"__bv$i", i.toDouble / k)),
+      delta = delta, smallFloor = smallFloor,
+      sliceCap = math.max(1000000L, smallFloor),
+      discrete = true, rankFor = Some(rankFor))
+      .localCheckpoint(true)
+
+    // -- one exact pass: per-group n plus, per boundary, the count strictly
+    //    below its value and the size of its tied run (map-side combinable;
+    //    the broadcast bounds row is 1:1 per group — no row blowup)
+    val aggs = Seq(count(lit(1)).as("n")) ++ (1 to k - 1).flatMap { i =>
+      Seq(
+        sum(when(col("v") < col(s"__bv$i"), 1L).otherwise(0L)).as(s"__below$i"),
+        sum(when(col("v") === col(s"__bv$i"), 1L).otherwise(0L)).as(s"__m$i"),
+        // the run's real id extremes seed the bisection interval (a
+        // sentinel ±Long.MaxValue interval would overflow the midpoint)
+        min(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idlo$i"),
+        max(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idhi$i"))
+    }
+    val counted = base.join(broadcast(bounds), "g")
+      .groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .join(bounds, "g")
+
+    // -- long state, one row per (group, boundary): the tie-break id is the
+    //    kk-th smallest id among the boundary value's tied run, restricted
+    //    to the id interval [lo, hi] (whole range until bisection narrows)
+    val st = counted.select(col("g"), col("n"),
+        explode(array((1 to k - 1).map { i =>
+          struct(lit(i).as("i"), col(s"__bv$i").as("bv"),
+            col(s"__below$i").as("below"), col(s"__m$i").as("m"),
+            col(s"__idlo$i").as("idlo"), col(s"__idhi$i").as("idhi"))
+        }: _*)).as("b"))
+      .select(col("g"), col("n"), col("b.i").as("i"), col("b.bv").as("bv"),
+        col("b.below").as("below"), col("b.m").as("m"),
+        col("b.idlo").as("idlo"), col("b.idhi").as("idhi"))
+      .withColumn("q", (col("n") / k).cast("long"))
+      .withColumn("cum",
+        col("i") * col("q") + least(col("i"), col("n") - col("q") * k))
+      .select(col("g"), col("i"), col("bv"),
+        (col("cum") - col("below")).as("kk"),
+        col("m").as("cnt"),
+        col("idlo").as("lo"), col("idhi").as("hi"))
+      .localCheckpoint(true)
+    // the boundary rank must land inside its own tied run — anything else
+    // means the boundary value pass was wrong; fail loudly, never misbin
+    require(st.where(col("kk") < 1 || col("kk") > col("cnt")).limit(1).isEmpty,
+      "NTILE boundary rank fell outside its tied value run")
+
+    // -- tie-break id selection. Tied rows (v equal to SOME boundary value)
+    //    are a tiny slice of real data; materialize them once only if any
+    //    run exceeds the collect cap and must bisect.
+    val bvCols = (1 to k - 1).map(i => col(s"__bv$i"))
+    def tiedRows(src: DataFrame): DataFrame =
+      src.join(broadcast(bounds), "g")
+        .filter(bvCols.map(col("v") === _).reduce(_ || _))
+        .select(col("g"), col("v"), col("id"))
+
+    var state = st
+    var tied: DataFrame = null
+    var rounds = 0
+    def active: Column = col("cnt") > tieCap && col("lo") < col("hi")
+    while (!state.where(active).limit(1).isEmpty) {
+      require(rounds < maxRounds,
+        s"NTILE tie bisection did not converge in $maxRounds rounds")
+      if (tied == null)
+        tied = tiedRows(base).repartition(col("g"), col("v"))
+          .localCheckpoint(true)
+      val act = state.where(active)
+        .select(col("g"), col("i"), col("bv"), col("kk"), col("lo"), col("hi"),
+          (col("lo") + (col("hi") - col("lo")) / 2).as("mid"))
+      val halves = tied.join(broadcast(act), Seq("g"))
+        .filter(col("v") === col("bv") && col("id").between(col("lo"), col("hi")))
+        .groupBy(col("g"), col("i"))
+        .agg(
+          sum(when(col("id") <= col("mid"), 1L).otherwise(0L)).as("cl"),
+          max(when(col("id") <= col("mid"), col("id"))).as("maxl"),
+          min(when(col("id") > col("mid"), col("id"))).as("minr"))
+      val goLeft = col("kk") <= col("cl")
+      val refined = state.where(active)
+        .join(halves, Seq("g", "i"))
+        .select(col("g"), col("i"), col("bv"),
+          when(goLeft, col("kk")).otherwise(col("kk") - col("cl")).as("kk"),
+          when(goLeft, col("cl")).otherwise(col("cnt") - col("cl")).as("cnt"),
+          when(goLeft, col("lo")).otherwise(col("minr")).as("lo"),
+          when(goLeft, col("maxl")).otherwise(col("hi")).as("hi"))
+      state = state.where(!active).unionByName(refined)
+        .localCheckpoint(true)
+      rounds += 1
+    }
+
+    // -- final selection: every surviving slice holds ≤ tieCap ids (or a
+    //    collapsed lo==hi interval) — sorted-collect and index by kk
+    val bids = (if (tied == null) tiedRows(base) else tied)
+      .join(broadcast(state), Seq("g"))
+      .filter(col("v") === col("bv") && col("id").between(col("lo"), col("hi")))
+      .groupBy(col("g"), col("i"), col("kk"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("g"), col("i"),
+        element_at(col("ids"), col("kk").cast("int")).as("bid"))
+
+    // -- pivot the (value, id) boundary pairs wide and bin by broadcast
+    //    lexicographic comparison
+    val bidCols = (1 to k - 1).map { i =>
+      first(when(col("i") === i, col("bid")), ignoreNulls = true).as(s"__bid$i")
+    }
+    // checkpoint the final (group, bv_i, bid_i) table too: it is tiny and
+    // this truncates every boundary job out of the caller's visible plan —
+    // what remains is input ⋈ broadcast(tiny) + codegen'd comparisons
+    val bWide = bounds.join(
+        bids.groupBy(col("g")).agg(bidCols.head, bidCols.tail: _*), "g")
+      .localCheckpoint(true)
+
+    val v = valueCol.cast("double")
+    val id = idCol.cast("long")
+    val tile = (lit(1) + (1 to k - 1).map { i =>
+      (v > col(s"__bv$i") ||
+        (v === col(s"__bv$i") && id > col(s"__bid$i"))).cast("int")
+    }.reduce(_ + _)).cast("int")
+    // internal join key gets a reserved name so a caller column named "g"
+    // can't collide (NtileSpec exercises exactly that)
+    df.join(broadcast(bWide.withColumnRenamed("g", "__ntile_g")),
+        groupCol === col("__ntile_g"))
+      .withColumn(outCol, tile)
+      .drop((Seq("__ntile_g") ++ (1 to k - 1).flatMap(i =>
+        Seq(s"__bv$i", s"__bid$i"))): _*)
+  }
+}

@@ -81,6 +81,18 @@ object Percentiles {
     *                  r to the exact integer ceil(p·n)-1 — the
     *                  interpolation weights become (1, 0) and the whole
     *                  bracket/bisection machinery is reused unchanged.
+    * @param rankFor   optional exact-rank override: maps (p, n) to the
+    *                  1-based target rank (clamped into [1, n]) and implies
+    *                  discrete semantics. The sketch still brackets at
+    *                  p±δ, so the returned rank must stay within
+    *                  (δ − 1/accuracy)·n of p·n for groups above
+    *                  `smallFloor` — callers whose rank rule deviates from
+    *                  p·n by up to d rows must raise `smallFloor` to at
+    *                  least d/δ (the enclosure `require` below fails loudly,
+    *                  never silently, if they don't). Lets rank rules that
+    *                  no literal percentage expresses (e.g. NTILE's
+    *                  i·(n div k) + min(i, n mod k), [[Ntile.exact]]) reuse
+    *                  the bracket/bisection machinery unchanged.
     */
   def exact(
       df: DataFrame,
@@ -92,7 +104,8 @@ object Percentiles {
       sliceCap: Long = 1000000L,
       smallFloor: Long = 1000L,
       maxRounds: Int = 256,
-      discrete: Boolean = false): DataFrame = {
+      discrete: Boolean = false,
+      rankFor: Option[(Column, Column) => Column] = None): DataFrame = {
     require(targets.nonEmpty && targets.forall { case (_, p) => p >= 0 && p <= 1 })
     require(smallFloor <= sliceCap, "smallFloor must not exceed sliceCap")
     val spark = df.sparkSession
@@ -140,10 +153,15 @@ object Percentiles {
       // k = floor(r); need elements at ranks k+1 and (k+2 capped at n).
       // Discrete mode: r is the exact integer ceil(p·n)-1 (clamped ≥0),
       // so rk = ceil(p·n) and the hi-rank element's weight is exactly 0.
-      .withColumn("r",
-        if (discrete)
-          greatest(ceil(col("p") * col("n")) - 1, lit(0L)).cast("double")
-        else (col("n") - 1) * col("p"))
+      .withColumn("r", rankFor match {
+        case Some(f) =>
+          (greatest(least(f(col("p"), col("n")), col("n")), lit(1L)) - 1)
+            .cast("double")
+        case None =>
+          if (discrete)
+            greatest(ceil(col("p") * col("n")) - 1, lit(0L)).cast("double")
+          else (col("n") - 1) * col("p")
+      })
       .withColumn("rk", (floor(col("r")) + 1).cast("long"))
       .withColumn("rkhi", least(col("rk") + 1, col("n")))
 

@@ -37,13 +37,28 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
           asc_nulls_first("o_orderpriority"))
     },
 
-    // B3b — HLL++ approximate distinct. Sketch internals differ across
-    // engines, so rows-only here; ExtraSpec pins the estimate within
-    // rsd-derived bounds of the exact count.
-    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+    // B3b — HLL++ approximate distinct. The sketch VALUE is not
+    // DuckDB-replicable (different HLL internals), so the declared output
+    // carries the exact count plus a within-5%-of-exact FLAG computed
+    // genuinely from Spark's estimate; the oracle declares the flag's
+    // expected value (TRUE — rsd=2% against a 5% bound), which makes the
+    // row fully hash-checkable: if the sketch ever strays past the bound,
+    // the driver's hash check goes red (VERDICT r6 item 7; rows-only
+    // count 11 -> 10). ExtraSpec still pins the raw estimate's error
+    // independently.
+    Q("q_agg_approx_distinct",
+      """SELECT o_orderstatus,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+  TRUE AS within_5pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          count_distinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")) <=
+            col("exact_cust") * lit(0.05)).as("within_5pct"))
         .orderBy("o_orderstatus")
     },
 

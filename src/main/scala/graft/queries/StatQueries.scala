@@ -35,37 +35,6 @@ object StatQueries {
   // buffer at 1000 doubles per group — scale-independent.
   private[graft] val SmallGroupFloor = 1000L
 
-  // Exact NTILE's loud scale limit (VERDICT r4 item 2): its total-order
-  // semantics serialize each partition-by group through ONE window task
-  // (measured ×13 vs the distributed sibling at sf10's 3.3 M-row groups),
-  // so past this many rows per group the query must FAIL with a pointer
-  // to q_ntile_approx rather than silently run a multi-hour single-task
-  // sort on a 1000-executor cluster.
-  private[graft] val NtileGroupCap = 10000000L
-
-  /** `ntile(n)` over (`partCols`, `orderCols`) with the group-size guard:
-    * any group larger than `cap` rows raises at execution time instead of
-    * serializing through one task. The guard count is a second window over
-    * the SAME partitioning (no extra shuffle; its partition-key-only
-    * ordering requirement is satisfied by the ntile sort), and the
-    * raise_error branch is CaseWhen-lazy — zero cost on the happy path.
-    */
-  private[graft] def ntileGuarded(df: org.apache.spark.sql.DataFrame,
-      partCols: Seq[String], orderCols: Seq[String], n: Int,
-      cap: Long = NtileGroupCap): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    val wc = Window.partitionBy(partCols.map(col): _*)
-    df.withColumn("decile",
-      when(count(lit(1)).over(wc) > cap,
-        raise_error(concat(
-          lit("exact NTILE group ("), concat_ws(",", partCols.map(col): _*),
-          lit(s") exceeds $cap rows: total-order semantics serialize it " +
-            "through one task — use the distributed equi-depth sibling " +
-            "(q_ntile_approx / Percentiles.exact boundaries)"))).cast("int"))
-        .otherwise(ntile(n).over(w)))
-  }
-
   val all: Seq[Q] = Seq(
 
     // Sequence packing: assign docs (in deterministic doc_id order, per
@@ -207,17 +176,17 @@ FROM s ORDER BY l_returnflag""") { (s, d) =>
     },
 
     // Equi-depth decile bucketing via NTILE — the feature-binning /
-    // outlier-trim step of feature engineering. The tile assignment is a
-    // per-group window sort; ties broken by event_id so both engines
-    // assign identical tiles. min/max are comparisons (no arithmetic) —
-    // raw doubles stay deterministic. SCALE NOTE: exact NTILE serializes
-    // each group through one partition (inherent to its total-order
-    // semantics); at 100 TB with few groups, bin by approx-percentile
-    // boundaries instead (q_percentile_approx is the bounded-memory
-    // sketch path) and keep this exact form for bounded groups. The
-    // bound is ENFORCED, not advisory: groups past NtileGroupCap raise
-    // at execution via ntileGuarded (StatSpec pins the guard both ways)
-    // instead of silently serializing.
+    // outlier-trim step of feature engineering. Ties broken by event_id so
+    // both engines assign identical tiles; min/max are comparisons (no
+    // arithmetic) — raw doubles stay deterministic. SCALE: the built-in
+    // window form serializes each group through ONE task (measured ×13 vs
+    // the distributed sibling at sf10's 3.3 M-row groups), so rounds 4–6
+    // capped it at 10^7 rows/group with a loud raise. Round 7 removes the
+    // cap: [[graft.operators.Ntile.exact]] computes only the 9 boundary
+    // keys of the total order distributively (Percentiles.exact at the
+    // exact NTILE ranks + bounded tie-break-id selection) and bins rows by
+    // broadcast comparison — identical assignment at any group size
+    // (NtileSpec pins equality with the window form, ties included).
     Q("q_ntile",
       """SELECT event_type, decile, COUNT(*) AS n,
   MIN(value) AS min_value, MAX(value) AS max_value
@@ -226,9 +195,10 @@ FROM (SELECT event_type, value, event_id,
           ORDER BY value, event_id) AS decile
       FROM events)
 GROUP BY event_type, decile ORDER BY event_type, decile""") { (s, d) =>
-      ntileGuarded(
+      graft.operators.Ntile.exact(
           Tables.events(s, d).select(col("event_type"), col("value"), col("event_id")),
-          Seq("event_type"), Seq("value", "event_id"), 10)
+          col("event_type"), col("value"), col("event_id"), 10,
+          outCol = "decile")
         .groupBy(col("event_type"), col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))

@@ -267,13 +267,28 @@ object StreamRunner {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps the streaming state store to
+    // the RocksDB provider (VERDICT r6 item 1): the default HDFS-backed
+    // store holds ALL state on the executor heap — the session
+    // aggregation's state grows with distinct users (×6.9/decade measured,
+    // BASELINE.md r6), so heap state is the next decade's OOM; RocksDB
+    // keeps state off-heap/on-disk with a bounded block cache. Stream ≡
+    // batch results are provider-independent (StreamingSpec pins both).
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val spark = (provider.toLowerCase match {
+      case "rocksdb" => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
+    println(s"[streambench] state store provider: $provider")
     spark.sparkContext.setLogLevel("WARN")
     def timed[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()

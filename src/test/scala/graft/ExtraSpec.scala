@@ -11,8 +11,12 @@ import graft.sources.CalTopoFeatures
 class ExtraSpec extends SparkSpec {
 
   test("approx_count_distinct is within 3*rsd of the exact count per group") {
-    val approx = Registry.all.find(_.name == "q_agg_approx_distinct").get
-      .build(spark, sfDir)
+    // the query's declared output carries the flag, not the raw estimate
+    // (r7: oracle-paired via the within_5pct contract) — this pin keeps
+    // the INDEPENDENT bound on the raw estimate itself
+    val approx = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.sources.Tables.orders(spark, sfDir)
       .groupBy("o_orderstatus")
@@ -23,6 +27,11 @@ class ExtraSpec extends SparkSpec {
       val err = math.abs(approx(k).toDouble - n) / n
       assert(err <= 0.06, s"group $k: approx=${approx(k)} exact=$n err=$err")
     }
+    // and the declared flag row agrees: every group within 5%
+    val flags = Registry.all.find(_.name == "q_agg_approx_distinct").get
+      .build(spark, sfDir).collect()
+    assert(flags.nonEmpty && flags.forall(_.getBoolean(2)),
+      "within_5pct flag false — HLL estimate strayed past the bound")
   }
 
   test("percentile_approx is within the sketch rank-error bound of exact percentiles") {

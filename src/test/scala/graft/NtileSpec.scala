@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.Ntile
+
+/** [[graft.operators.Ntile.exact]] — the distributed exact-NTILE operator
+  * that replaced the r4–r6 group-size guard — must reproduce the built-in
+  * window `ntile(k)` ROW-FOR-ROW, including every shape that makes exact
+  * distributed NTILE hard:
+  *
+  *  - heavy VALUE ties (rows tied at a tile boundary split between tiles
+  *    by id — the boundary's tie-break id must be the exact in-run rank);
+  *  - mega tie runs past the collect cap (the id-domain bisection path);
+  *  - groups smaller than k (some tiles empty, repeated boundary ranks);
+  *  - multiple k values (boundary rank arithmetic n = k·q + r).
+  */
+class NtileSpec extends SparkSpec {
+
+  private def windowTiles(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy("v", "id")
+    df.withColumn("tile", ntile(k).over(w))
+  }
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame, k: Int,
+      tieCap: Long = 1000000L): Unit = {
+    val got = Ntile.exact(df, col("g"), col("v"), col("id"), k,
+        tieCap = tieCap)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    val want = windowTiles(df, k).select(col("g"), col("v"), col("id"), col("tile"))
+    val extra = got.exceptAll(want)
+    val missing = want.exceptAll(got)
+    if (!(extra.isEmpty && missing.isEmpty))
+      fail(s"k=$k mismatch; extra=${extra.take(5).toSeq} " +
+        s"missing=${missing.take(5).toSeq}")
+  }
+
+  test("matches window ntile on heavily tied values, several k") {
+    import spark.implicits._
+    // 3 groups x 2000 rows, values drawn from only 17 distinct doubles so
+    // every tile boundary lands inside a tie run; ids unique per group
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to 2000
+    } yield (g, ((i * 7919) % 17).toDouble, i.toLong)
+    val df = rows.toDF("g", "v", "id")
+    Seq(2, 7, 10).foreach(k => assertSame(df, k))
+  }
+
+  test("mega tie run takes the bisection path and still matches exactly") {
+    import spark.implicits._
+    // one constant-valued group: EVERY boundary's tie run is the whole
+    // group, far past tieCap=64 — selection must bisect the id domain
+    // (never collect 5000 ids into one buffer) and land on the same
+    // tie-break ids the window sort implies. Non-contiguous ids make the
+    // id-interval midpoints irregular.
+    val df = (1 to 5000).map(i => ("mega", 1.0, i.toLong * 13 + (i % 7)))
+      .toDF("g", "v", "id")
+    assertSame(df, 10, tieCap = 64)
+  }
+
+  test("mixed tie runs and spread values, bisection forced") {
+    import spark.implicits._
+    // half the rows pile onto two hot values, half spread — boundaries can
+    // fall in a run or between runs; tiny cap forces bisection on the runs
+    val rows = (1 to 4000).map { i =>
+      val v = if (i % 2 == 0) (i % 4) / 2.0 else i.toDouble
+      ("m", v, i.toLong)
+    }
+    assertSame(rows.toDF("g", "v", "id"), 10, tieCap = 32)
+  }
+
+  test("groups smaller than k get one row per leading tile") {
+    import spark.implicits._
+    val df = (Seq(("one", 5.0, 1L)) ++
+      (1 to 5).map(i => ("five", i.toDouble, i.toLong)) ++
+      (1 to 9).map(i => ("nine", 9.0, i.toLong)) // n<k AND all tied
+    ).toDF("g", "v", "id")
+    assertSame(df, 10)
+    // explicit: the 5-row group fills tiles 1..5 with one row each
+    val tiles = Ntile.exact(df, col("g"), col("v"), col("id"), 10)
+      .filter(col("g") === "five").select("tile")
+      .collect().map(_.getInt(0)).sorted
+    assert(tiles.sameElements(Array(1, 2, 3, 4, 5)))
+  }
+
+  test("null sort values surface as NULL tiles, never misbin non-null rows") {
+    import spark.implicits._
+    val df = (Seq(("a", Option.empty[Double], 0L)) ++
+      (1 to 20).map(i => ("a", Some(i.toDouble), i.toLong))).toDF("g", "v", "id")
+    val got = Ntile.exact(df, col("g"), col("v"), col("id"), 4)
+    assert(got.filter(col("id") === 0).select("tile").first().isNullAt(0))
+    val nonNull = got.filter(col("v").isNotNull)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    val want = windowTiles(df.filter(col("v").isNotNull), 4)
+    assert(nonNull.exceptAll(want).isEmpty && want.exceptAll(nonNull).isEmpty)
+  }
+}

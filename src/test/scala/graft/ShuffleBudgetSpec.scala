@@ -21,7 +21,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "folder_join" -> 2,
     "point_enrich" -> 1,
     "project_nest" -> 1,
-    "q_agg_approx_distinct" -> 2,
+    // r7 re-record 2 -> 3: oracle-pairing added the exact COUNT(DISTINCT)
+    // beside the HLL (the within_5pct contract needs both); a distinct
+    // aggregate is inherently two-phase (+1 Exchange on the distinct key)
+    "q_agg_approx_distinct" -> 3,
     "q_agg_strings" -> 3,
     "q_agg_distinct" -> 3,
     "q_agg_hash" -> 2,
@@ -85,7 +88,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_decode" -> 1,
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
-    "q_ntile" -> 2,
+    // r7 re-record 2 -> 3: the distributed exact form (Ntile.exact)
+    // replaced the per-group window sort with a broadcast of the tiny
+    // boundary table — the +1 is that BroadcastExchange; boundary jobs
+    // ran eagerly behind the operator's checkpoints (as with q_percentile)
+    "q_ntile" -> 3,
     // boundaries via Percentiles.exact(discrete): slice agg + rank-pivot
     // agg + broadcasts of the tiny bounds/state frames + final bin agg +
     // output sort; the operator's sketch/probe passes hide behind its

@@ -55,27 +55,22 @@ class StatSpec extends SparkSpec {
     }
   }
 
-  test("ntile group-size guard raises past the cap and is invisible under it") {
-    import spark.implicits._
-    import graft.queries.StatQueries
-    // 5-row group "big", 2-row group "small": cap=3 must raise naming the
-    // distributed sibling; cap=100 must reproduce plain ntile exactly
-    val df = ((1 to 5).map(i => ("big", i)) ++ Seq(("small", 1), ("small", 2)))
-      .toDF("k", "v")
-    val guarded = StatQueries.ntileGuarded(df, Seq("k"), Seq("v"), 2, cap = 3)
-    val e = intercept[Exception] { guarded.collect() }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-        Option(c.getMessage).exists(_.contains("q_ntile_approx"))),
-      s"guard error must point to the scale-safe sibling: $e")
-    val loose = StatQueries.ntileGuarded(df, Seq("k"), Seq("v"), 2, cap = 100)
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+  test("q_ntile matches the single-task window form row-for-row on real data") {
+    // the distributed boundary-binning form (Ntile.exact) must reproduce
+    // the built-in ntile window EXACTLY on the declared query's data —
+    // the guard that rounds 4–6 enforced is gone because the semantics no
+    // longer serialize (NtileSpec covers the adversarial tie/small paths)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("v")
-    val plain = df.withColumn("decile", ntile(2).over(w))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
-    assert(loose == plain)
+      .partitionBy("event_type").orderBy("value", "event_id")
+    val windowForm = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val got = run("q_ntile")
+    assert(got.exceptAll(windowForm).isEmpty && windowForm.exceptAll(got).isEmpty,
+      "distributed ntile diverged from the window form")
   }
 
   test("ntile_approx bins partition each group and stay within boundary-tie slack of n/10") {

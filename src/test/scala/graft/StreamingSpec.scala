@@ -21,6 +21,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream.sameElements(expected))
   }
 
+  test("tumbling + session streams are provider-independent under RocksDB") {
+    // the SPARK_GRAFT_STATE_STORE=rocksdb path of StreamRunner.main
+    // (VERDICT r6 item 1): state lives off-heap in RocksDB instead of the
+    // executor heap — results must be IDENTICAL to the default provider's
+    // (which the other tests pin against the batch oracles)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val tumbling = StreamRunner.runToMemory(spark,
+        StreamRunner.tumblingAgg(StreamRunner.eventsStream(spark, sfDir)),
+        "spec_tumbling_rocks")
+        .orderBy("window_start_us").collect()
+      assert(tumbling.sameElements(batch("q_stream_tumbling").collect()))
+      val session = StreamRunner.runToMemory(spark,
+        StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
+        "spec_session_rocks")
+        .orderBy("user_id", "session_start_us").collect()
+      assert(session.sameElements(batch("q_stream_session").collect()))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState per-user counts equal batch groupBy counts") {
     import org.apache.spark.sql.functions._
     val stream = StreamRunner.runToMemoryUpdate(spark,
