@@ -69,11 +69,14 @@ object Ntile {
 
     // -- boundary values at the exact NTILE ranks. The rank rule deviates
     //    from p·n = i·n/k by at most |i·r/k − min(i,r)| < k rows, so the
-    //    sketch bracket stays enclosing when groups under ~2k/δ take the
-    //    whole-group [vmin, vmax] bracket (smallFloor below; Percentiles'
-    //    enclosure require still guards every target loudly).
+    //    sketch bracket stays enclosing when groups under ~2k/(δ − 1/acc)
+    //    — the sketch's own rank error eats into the δ·n margin — take
+    //    the whole-group [vmin, vmax] bracket (smallFloor below;
+    //    Percentiles' enclosure require still guards every target loudly).
     val delta = 0.002
-    val smallFloor = math.max(10000L, math.ceil(2 * k / delta).toLong)
+    val accuracy = 2000
+    val margin = delta - 1.0 / accuracy
+    val smallFloor = math.max(10000L, math.ceil(2 * k / margin).toLong)
     val rankFor: (Column, Column) => Column = (p, n) => {
       val i = round(p * k).cast("long")
       val q = (n / k).cast("long") // exact floor: integer-valued double < 2^53
@@ -84,7 +87,7 @@ object Ntile {
     // each of which would otherwise re-run the sketch/probe machinery
     val bounds = Percentiles.exact(base, col("g"), col("v"),
       targets = (1 to k - 1).map(i => (s"__bv$i", i.toDouble / k)),
-      delta = delta, smallFloor = smallFloor,
+      delta = delta, accuracy = accuracy, smallFloor = smallFloor,
       sliceCap = math.max(1000000L, smallFloor),
       discrete = true, rankFor = Some(rankFor))
       .localCheckpoint(true)

@@ -47,6 +47,13 @@ object ScaleGen {
     val out = if (args.length > 1) args(1) else "tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val step = if (args.length > 3) args(3).toLong else DefaultStep
+    // optional 5th arg: comma-separated table subset. A full sf1000 does
+    // not fit this host's disk (lineitem alone projects to ~110 GB vs
+    // ~60 GB free after the sf100 chain — the measured infeasibility
+    // BASELINE.md r7 records), but the dedup/kNN headline families only
+    // need documents+embeddings (~14 GB at sf1000), so the fourth decade
+    // is generated per-table.
+    val subset = if (args.length > 4) Some(args(4).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("graft-scalegen")
@@ -58,6 +65,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(t => subset.forall(_.contains(t)))
     tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val big = shifts.get(t) match {
