@@ -275,11 +275,15 @@ object StreamRunner {
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATE_STORE=rocksdb swaps the streaming state store to
     // the RocksDB provider (VERDICT r6 item 1): the default HDFS-backed
-    // store holds ALL state on the executor heap — the session
-    // aggregation's state grows with distinct users (×6.9/decade measured,
-    // BASELINE.md r6), so heap state is the next decade's OOM; RocksDB
-    // keeps state off-heap/on-disk with a bounded block cache. Stream ≡
-    // batch results are provider-independent (StreamingSpec pins both).
+    // store holds ALL state on the executor heap, and the session
+    // aggregation's state grows with the stream (~one entry per event at
+    // this corpus's 10-minute-gap density). MEASURED, not projected
+    // (BASELINE.md r7): the heap store serves 1e8 session entries and
+    // OOMs an 80 GB heap at 3e8 (sf300) and 1e9 (sf1000, reproduced);
+    // RocksDB completes sf300 in 260 s and at sf1000 is bounded by local
+    // DISK, not RAM — the resource that scales with executor count.
+    // Stream ≡ batch results are provider-independent (StreamingSpec
+    // pins both).
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
     val spark = (provider.toLowerCase match {
       case "rocksdb" => builder.config(
