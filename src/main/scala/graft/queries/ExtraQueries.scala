@@ -46,16 +46,27 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
     // the driver's hash check goes red (VERDICT r6 item 7; rows-only
     // count 11 -> 10). ExtraSpec still pins the raw estimate's error
     // independently.
+    //
+    // Shape (r7): ONE deduplicating pass, then both counts over the
+    // distinct (status, custkey) pairs. HLL registers are a max over
+    // hashed values, so duplicates are idempotent — the estimate over the
+    // deduped pairs is BITWISE the estimate over the raw column — while
+    // the exact count becomes a plain count(*). This replaces the
+    // count_distinct rewrite's 2x Expand over the full scan with a
+    // map-side-combinable distinct (measured 1.48 -> 0.6 s at sf0.1);
+    // at 100 TB the first shuffle carries only the distinct pairs.
     Q("q_agg_approx_distinct",
       """SELECT o_orderstatus,
   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
   TRUE AS within_5pct
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
       Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_custkey"))
+        .distinct()
         .groupBy(col("o_orderstatus"))
         .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
-          count_distinct(col("o_custkey")).as("exact_cust"))
+          count(lit(1)).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust")) <=
             col("exact_cust") * lit(0.05)).as("within_5pct"))
