@@ -182,11 +182,16 @@ FROM s ORDER BY l_returnflag""") { (s, d) =>
     // window form serializes each group through ONE task (measured ×13 vs
     // the distributed sibling at sf10's 3.3 M-row groups), so rounds 4–6
     // capped it at 10^7 rows/group with a loud raise. Round 7 removes the
-    // cap: [[graft.operators.Ntile.exact]] computes only the 9 boundary
-    // keys of the total order distributively (Percentiles.exact at the
-    // exact NTILE ranks + bounded tie-break-id selection) and bins rows by
-    // broadcast comparison — identical assignment at any group size
-    // (NtileSpec pins equality with the window form, ties included).
+    // cap: [[graft.operators.Ntile.exact]] ROUTES each group by a
+    // measured size census — groups under windowCap (proven one-task-safe)
+    // run the built-in window at its full speed (sf0.1: 0.7 s, vs 3.5 s
+    // when the boundary machinery ran everywhere), oversized groups get
+    // their 9 boundary keys computed distributively (Percentiles.exact at
+    // the exact NTILE ranks + bounded tie-break-id selection) and bin by
+    // broadcast comparison (sf10's 3.3 M-row groups: 13.1 s vs the
+    // window's 20.2 s) — identical assignment at any group size
+    // (NtileSpec pins both routes and the mixed split against the window
+    // form, ties included).
     Q("q_ntile",
       """SELECT event_type, decile, COUNT(*) AS n,
   MIN(value) AS min_value, MAX(value) AS max_value

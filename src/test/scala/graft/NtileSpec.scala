@@ -25,15 +25,22 @@ class NtileSpec extends SparkSpec {
 
   private def assertSame(df: org.apache.spark.sql.DataFrame, k: Int,
       tieCap: Long = 1000000L): Unit = {
-    val got = Ntile.exact(df, col("g"), col("v"), col("id"), k,
-        tieCap = tieCap)
-      .select(col("g"), col("v"), col("id"), col("tile"))
-    val want = windowTiles(df, k).select(col("g"), col("v"), col("id"), col("tile"))
-    val extra = got.exceptAll(want)
-    val missing = want.exceptAll(got)
-    if (!(extra.isEmpty && missing.isEmpty))
-      fail(s"k=$k mismatch; extra=${extra.take(5).toSeq} " +
-        s"missing=${missing.take(5).toSeq}")
+    // windowCap = 0 forces the boundary machinery everywhere (the spec's
+    // fixtures are all far under the default routing cap, so the default
+    // would silently route every group to the window path and this spec
+    // would stop covering the machinery); the default-cap call then pins
+    // the adaptive entry point end-to-end on the same data
+    Seq(0L, 1000000L).foreach { cap =>
+      val got = Ntile.exact(df, col("g"), col("v"), col("id"), k,
+          tieCap = tieCap, windowCap = cap)
+        .select(col("g"), col("v"), col("id"), col("tile"))
+      val want = windowTiles(df, k).select(col("g"), col("v"), col("id"), col("tile"))
+      val extra = got.exceptAll(want)
+      val missing = want.exceptAll(got)
+      if (!(extra.isEmpty && missing.isEmpty))
+        fail(s"k=$k windowCap=$cap mismatch; extra=${extra.take(5).toSeq} " +
+          s"missing=${missing.take(5).toSeq}")
+    }
   }
 
   test("matches window ntile on heavily tied values, several k") {
@@ -85,15 +92,38 @@ class NtileSpec extends SparkSpec {
     assert(tiles.sameElements(Array(1, 2, 3, 4, 5)))
   }
 
+  test("adaptive routing splits groups at windowCap and both halves match") {
+    import spark.implicits._
+    // windowCap=100: the 60-row groups route to the window path, the
+    // 300-row groups to the boundary machinery, in ONE call — the union
+    // must be row-for-row the pure window form. Tied values in both
+    // halves keep the tie-break arithmetic honest across the split.
+    val rows =
+      (for (g <- Seq("s1", "s2"); i <- 1 to 60)
+        yield (g, ((i * 31) % 5).toDouble, i.toLong)) ++
+      (for (g <- Seq("L1", "L2"); i <- 1 to 300)
+        yield (g, ((i * 31) % 5).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    val got = Ntile.exact(df, col("g"), col("v"), col("id"), 7,
+        windowCap = 100)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    val want = windowTiles(df, 7).select(col("g"), col("v"), col("id"), col("tile"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("null sort values surface as NULL tiles, never misbin non-null rows") {
     import spark.implicits._
     val df = (Seq(("a", Option.empty[Double], 0L)) ++
       (1 to 20).map(i => ("a", Some(i.toDouble), i.toLong))).toDF("g", "v", "id")
-    val got = Ntile.exact(df, col("g"), col("v"), col("id"), 4)
-    assert(got.filter(col("id") === 0).select("tile").first().isNullAt(0))
-    val nonNull = got.filter(col("v").isNotNull)
-      .select(col("g"), col("v"), col("id"), col("tile"))
-    val want = windowTiles(df.filter(col("v").isNotNull), 4)
-    assert(nonNull.exceptAll(want).isEmpty && want.exceptAll(nonNull).isEmpty)
+    // both routing paths must implement the same null posture
+    Seq(0L, 1000000L).foreach { cap =>
+      val got = Ntile.exact(df, col("g"), col("v"), col("id"), 4,
+        windowCap = cap)
+      assert(got.filter(col("id") === 0).select("tile").first().isNullAt(0))
+      val nonNull = got.filter(col("v").isNotNull)
+        .select(col("g"), col("v"), col("id"), col("tile"))
+      val want = windowTiles(df.filter(col("v").isNotNull), 4)
+      assert(nonNull.exceptAll(want).isEmpty && want.exceptAll(nonNull).isEmpty)
+    }
   }
 }

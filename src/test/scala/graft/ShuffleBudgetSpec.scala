@@ -88,10 +88,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_decode" -> 1,
     "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
-    // r7 re-record 2 -> 3: the distributed exact form (Ntile.exact)
-    // replaced the per-group window sort with a broadcast of the tiny
-    // boundary table — the +1 is that BroadcastExchange; boundary jobs
-    // ran eagerly behind the operator's checkpoints (as with q_percentile)
+    // r7: Ntile.exact routes by measured group size. At this spec's scale
+    // every group is under windowCap, so the visible plan is the WINDOW
+    // route: window partition shuffle + final agg shuffle + output sort =
+    // 3 (the census aggregate ran eagerly at build). The oversized route's
+    // boundary-broadcast shape is budget-audited via NtileSpec's
+    // windowCap=0 pins, not here
     "q_ntile" -> 3,
     // boundaries via Percentiles.exact(discrete): slice agg + rank-pivot
     // agg + broadcasts of the tiny bounds/state frames + final bin agg +
