@@ -121,10 +121,11 @@ object Ntile {
   }
 
   /** Built-in window `ntile` over groups PROVEN ≤ `windowCap` rows — with
-    * the operator's null posture: null sort values are fenced into their
-    * own window partition (so they never shift the non-null tile
-    * boundaries, unlike Spark's NULLS FIRST default) and surface as a
-    * NULL tile. Sort keys are the same casts the machinery uses.
+    * the operator's null posture: null sort values never enter the window
+    * AT ALL (the census doesn't count them, so a group with 10^9 null
+    * values and 10 real ones still routes here — masking nulls after the
+    * window would sort them all in one task first) and surface as a NULL
+    * tile. Sort keys are the same casts the machinery uses.
     */
   private def windowPath(
       src: DataFrame,
@@ -135,9 +136,10 @@ object Ntile {
       outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = valueCol.cast("double")
-    val w = Window.partitionBy(groupCol, v.isNotNull)
-      .orderBy(v, idCol.cast("long"))
-    src.withColumn(outCol, when(v.isNotNull, ntile(k).over(w)))
+    val w = Window.partitionBy(groupCol).orderBy(v, idCol.cast("long"))
+    src.filter(v.isNotNull).withColumn(outCol, ntile(k).over(w))
+      .unionByName(
+        src.filter(v.isNull).withColumn(outCol, lit(null).cast("int")))
   }
 
   private def distributedPath(

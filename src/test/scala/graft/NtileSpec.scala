@@ -111,6 +111,30 @@ class NtileSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("routing boundary: a group exactly AT windowCap stays on the window path; nulls don't count toward the census") {
+    import spark.implicits._
+    // "at": 61 non-null rows with windowCap=61 → window route; "over": 62
+    // rows → machinery route; "nul": 30 real rows + 200 null-value rows —
+    // the census counts only non-null rows, so it routes to the window
+    // path, where the nulls must surface as NULL tiles without ever
+    // entering the window sort
+    val rows =
+      (1 to 61).map(i => ("at", Some((i % 3).toDouble), i.toLong)) ++
+      (1 to 62).map(i => ("over", Some((i % 3).toDouble), i.toLong)) ++
+      (1 to 30).map(i => ("nul", Some(i.toDouble), i.toLong)) ++
+      (31 to 230).map(i => ("nul", Option.empty[Double], i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    val got = Ntile.exact(df, col("g"), col("v"), col("id"), 5,
+      windowCap = 61)
+    assert(got.filter(col("g") === "nul" && col("v").isNull)
+      .select("tile").collect().forall(_.isNullAt(0)))
+    val nonNull = got.filter(col("v").isNotNull)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    val want = windowTiles(df.filter(col("v").isNotNull), 5)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    assert(nonNull.exceptAll(want).isEmpty && want.exceptAll(nonNull).isEmpty)
+  }
+
   test("null sort values surface as NULL tiles, never misbin non-null rows") {
     import spark.implicits._
     val df = (Seq(("a", Option.empty[Double], 0L)) ++
