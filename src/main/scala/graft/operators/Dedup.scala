@@ -272,8 +272,24 @@ object Dedup {
     * min-label propagation: O(cluster diameter) joins, each a shuffled
     * equi-join on id; near-dup clusters are shallow (dups of dups of one
     * original), so few iterations in practice; maxIter bounds pathology.
+    *
+    * ADAPTIVE ROUTING (r7, same census discipline as [[Ntile.exact]]):
+    * the distributed loop costs ~0.6 s/round in driver-synced job
+    * overhead REGARDLESS of graph size — profiled 1.7 s on a 256-edge
+    * graph, pure fixed cost across the 4 dedup-family bench queries.
+    * The edge frame is materialized (checkpointed) before the loop
+    * anyway, so its exact size is one cheap count: at or under
+    * `driverCap` edges (default 2^20 — a ≤16 MB collect, the same order
+    * Spark itself moves for a broadcast join) and long-typed ids, the
+    * components come from driver-side union-find (path-halving +
+    * min-id relabel, microseconds at that size); larger graphs — the
+    * 100 TB case — take the unchanged pointer-jumping loop. Identical
+    * labels by construction (both compute min-id-per-component;
+    * DedupSpec pins the two routes equal on the same graph).
+    * `driverCap = 0` forces the distributed loop.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 8,
+      driverCap: Long = 1L << 20): DataFrame = {
     // Both edge directions explode from ONE evaluation of `pairs`: a
     // union of pairs with pairs-swapped executes the pair-generation
     // subplan once PER UNION SIDE (minhashPairs' signature/bucket
@@ -309,6 +325,36 @@ object Dedup {
     //    just-materialized checkpoint — the exceptAll comparison launched
     //    an extra full two-sided shuffle job every round.
     val edgesCk = edges.repartition(col("dst")).localCheckpoint(true)
+
+    val longIds = Seq("src", "dst").forall(c =>
+      edgesCk.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (driverCap > 0 && longIds && edgesCk.count() <= driverCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgesCk.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.LongMap.empty[Long]
+      parent.keys.foreach { id =>
+        val r = find(id)
+        minOf(r) = math.min(minOf.getOrElse(r, id), id)
+      }
+      return parent.keys.toSeq.map(id => (id, minOf(find(id))))
+        .toDF("id", "cluster")
+    }
+
     var labels = edgesCk.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

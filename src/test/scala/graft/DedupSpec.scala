@@ -56,14 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("clusters: chains collapse to min-id components") {
+  test("clusters: chains collapse to min-id components (both routes)") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    // driverCap=0 forces the distributed pointer-jumping loop; the default
+    // routes this small graph to driver-side union-find — both must give
+    // the same min-id labels
+    Seq(0L, 1L << 20).foreach { cap =>
+      val got = Dedup.clusters(pairs, driverCap = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+        10L -> 10L, 11L -> 10L), s"driverCap=$cap")
+    }
   }
 
   test("clusters over minhash pairs group the planted dups under the min id") {
@@ -100,9 +105,16 @@ class DedupSpec extends SparkSpec {
           edges.flatMap(e => Seq(e._1, e._2)).distinct
             .filter(o => find(o.toInt) == root).min
         }).toMap
-      val got = Dedup.clusters(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial")
+      // the DISTRIBUTED route against the reference (driverCap=0 — the
+      // default would route these small graphs to driver union-find and
+      // this test would stop covering pointer-jumping), then the driver
+      // route against the same reference: the two routes are pinned equal
+      // through it
+      Seq(0L, 1L << 20).foreach { cap =>
+        val got = Dedup.clusters(edges.toDF("id_a", "id_b"), driverCap = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial driverCap=$cap")
+      }
     }
   }
 
