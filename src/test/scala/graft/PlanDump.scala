@@ -35,7 +35,12 @@ object PlanDump {
     sb.append("coalesce/replan at runtime). Lines filtered to joins, exchanges, aggregates,\n")
     sb.append("windows, generators, and scans — the operators that decide 100 TB behavior.\n")
     sb.append("Iterative operators (the dedup CC family) materialize intermediate stages as\n")
-    sb.append("checkpointed RDDs; their final-query plans start from `Scan ExistingRDD`.\n")
+    sb.append("checkpointed RDDs; their final-query plans start from `Scan ExistingRDD` —\n")
+    sb.append("or, at this SF, from a `LocalTableScan`: sf0.1's candidate graphs sit far\n")
+    sb.append("under `Dedup.clusters`' driverCap (2^20 edges), so the component labels come\n")
+    sb.append("from driver-side union-find over the already-checkpointed edge frame (r7\n")
+    sb.append("adaptive route; the distributed pointer-jumping plan — the 100 TB path — is\n")
+    sb.append("unchanged and exercised by DedupSpec with driverCap=0).\n")
     sb.append("Note on `q_text_tfidf`: the initial plan below shows two `Generate`\n")
     sb.append("(explode) branches, but at runtime AQE's stage cache serves both\n")
     sb.append("aggregate branches from ONE exchange — the executed final plan has a\n")
