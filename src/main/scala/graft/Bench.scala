@@ -138,10 +138,15 @@ object Bench {
     // Warm the session before timing: parquet footers/IO cache + the
     // scan codepaths, so the first measured query doesn't absorb one-time
     // session startup. The measured queries themselves run once, cold.
+    // Per-table scale dirs (tools/sfcut.sh, ScaleGen subsets) hold only
+    // the tables a measurement needs — probe existence first, or Spark's
+    // FileStreamSink WARN logs a full stack trace per missing table
+    // before the catch sees it (hundreds of noise lines per scale run).
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
+        try graft.sources.Tables.load(spark, sfDir, t).count()
+        catch { case _: Throwable => () }
     }
     // warm the execution machinery itself (Janino/codegen, window exec,
     // generators, hash aggregation, sort) on a tiny synthetic plan, so the
