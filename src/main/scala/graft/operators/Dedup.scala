@@ -428,7 +428,8 @@ object Dedup {
     * DROPPED pairs — so exact-first recall is strictly ≥ plain, never
     * below.
     */
-  def survivorsExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def survivorsExactFirst(docs: DataFrame, threshold: Double = 0.5,
+      broadcastCap: Long = 1L << 22): DataFrame = {
     // shingle-less texts can never pair in plain survivors — they ALL
     // survive there, so they must not be collapsed to a representative
     val degenerate = trim(coalesce(col("text"), lit(""))) === ""
@@ -442,7 +443,18 @@ object Dedup {
       .select(col("id"), col("text"))
       .localCheckpoint(true)
     val keepIds = survivors(reps, threshold).select(col("id"))
-    docs.filter(!degenerate).join(keepIds, Seq("id"), "left_semi")
+    // Census-gated broadcast of the keep side (same discipline as
+    // [[clustersExactFirst]]'s expansion join, and for the same reason:
+    // keepIds descends from CHECKPOINTED frames whose stats Catalyst
+    // cannot see, so the semi-join would otherwise shuffle the whole
+    // corpus by id against a few-thousand-row right side). keepIds is one
+    // bare long per surviving DISTINCT text; counting it is a small-join
+    // job over materialized inputs (reps is checkpointed and [[clusters]]
+    // has already materialized its labels by the time this DataFrame
+    // exists), not a corpus scan. 2^22 ids ≈ 32 MB broadcast.
+    val keep = if (keepIds.count() <= broadcastCap) broadcast(keepIds)
+               else keepIds
+    docs.filter(!degenerate).join(keep, Seq("id"), "left_semi")
       .unionByName(docs.filter(degenerate))
   }
 
@@ -486,7 +498,8 @@ object Dedup {
     * (same trade as the tfidf df-branch — the collapse is d× cheaper than
     * the sort it replaces).
     */
-  def clustersExactFirst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def clustersExactFirst(docs: DataFrame, threshold: Double = 0.5,
+      broadcastCap: Long = 1L << 17): DataFrame = {
     val nonDegenerate = docs.select(col("id"), col("text"))
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
     // Eager checkpoint: [[clusters]] materializes its edge graph in its
@@ -505,7 +518,23 @@ object Dedup {
       .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
       .select(col("text"),
         coalesce(col("rep_cluster"), col("rep")).as("cluster"))
-    nonDegenerate.join(labeled, Seq("text"))
+    // Census-gated broadcast of the expansion side. `labeled` descends
+    // from checkpointed frames, so Catalyst sees no stats and plans the
+    // text join as a sort-merge — shuffling AND sorting the whole corpus
+    // by its full text strings against a right side that is bounded by
+    // the distinct-text count (measured at sf1000: a 5 000-row right side
+    // put 50 M ~1 KB texts through an exchange; the A/B probe clocked
+    // that shape at 48–114 s/run with the CC route making no difference —
+    // the shuffle was the entire story). Counting `labeled` is a
+    // small-join job over materialized inputs ([[clusters]] has already
+    // run by the time this DataFrame exists), not a corpus scan. The cap
+    // is rows of (text, cluster) — 2^17 rows ≈ 100–300 MB at typical
+    // document sizes, the upper end of a comfortable broadcast; above it
+    // (a mostly-unique corpus where near-dup clusters rival the corpus)
+    // the sort-merge join is the honest plan and stays.
+    val expand = if (labeled.count() <= broadcastCap) broadcast(labeled)
+                 else labeled
+    nonDegenerate.join(expand, Seq("text"))
       .select(col("id"), col("cluster"))
   }
 

@@ -32,17 +32,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_cube" -> 2,
     "q_date_funcs" -> 2,
     "q_dedup_clusters" -> 1,
-    // exact-first: the text-window collapse + the rep-label expansion
-    // join (CC internals hide behind checkpoints, as in q_dedup_clusters)
-    "q_dedup_clusters_exact_first" -> 4,
+    // exact-first: text-groupBy collapse + output sort + the expansion
+    // join's BroadcastExchange (r7 re-record 4 -> 3: the census-gated
+    // broadcast replaced the corpus-wide sort-merge-by-text — the sf1000
+    // cell's dominant shuffle; CC internals hide behind checkpoints)
+    "q_dedup_clusters_exact_first" -> 3,
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
     "q_dedup_minhash" -> 4,
     "q_dedup_ngram_jaccard" -> 2,
     "q_dedup_pipeline" -> 3,
-    // exact-first: + the text-groupBy collapse and the final left-semi
-    // keep join (CC internals hide behind checkpoints, as in pipeline)
-    "q_dedup_pipeline_exact_first" -> 5,
+    // exact-first: text-groupBy collapse + degenerate-branch scan + the
+    // keep semi-join's BroadcastExchange (r7 re-record 5 -> 3: the
+    // census-gated broadcast of keepIds replaced the corpus-wide
+    // shuffle-by-id semi join; CC internals hide behind checkpoints)
+    "q_dedup_pipeline_exact_first" -> 3,
     "q_dedup_simhash" -> 4,
     "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
