@@ -41,13 +41,23 @@ import org.apache.spark.sql.functions._
   *
   * CONTRACTS (documented, spec-pinned): the sort value must be non-null
   * (null v rows would sort NULLS FIRST in Spark's window form; here they
-  * are excluded from the boundary math and surface with a NULL tile —
-  * same null posture as [[Percentiles.exact]], never a silent misbin);
-  * (g, v, id) must be a unique key for the
+  * are excluded from the boundary math and surface with a NULL tile on
+  * BOTH routes — the machinery's final join is a left join precisely so a
+  * group whose values are all null keeps its rows at a NULL tile instead
+  * of vanishing; same null posture as [[Percentiles.exact]], never a
+  * silent misbin or a silent drop). A NULL GROUP KEY is a real group, as
+  * in the window form: the routing joins are null-safe (`<=>`) and the
+  * machinery carries the key wrapped in a one-field struct (struct
+  * equality matches null fields), so an oversized null-key group takes
+  * the distributed path rather than silently falling through to one
+  * window task. (g, v, id) must be a unique key for the
   * assignment to be deterministic (true of the window form too). Like
   * [[Percentiles.exact]], calling this runs the boundary jobs EAGERLY —
-  * the returned DataFrame is the input joined against a tiny broadcast
-  * boundary table.
+  * the returned DataFrame is the input joined against a tiny boundary
+  * table (broadcast behind a group-count census: forced only while
+  * groups × k stays in executor memory, else AQE picks the join side —
+  * a 10^13-row input at windowCap=1M can mean 10^7 oversized groups,
+  * where a forced broadcast would be a multi-hundred-MB replica).
   *
   * ADAPTIVE ROUTING (r7): the boundary machinery pays a fixed multi-pass
   * cost (sketch, probe, count, tie passes — measured ~2.4 s at sf0.1
@@ -82,9 +92,14 @@ object Ntile {
     require(tieCap >= 1)
 
     if (windowCap > 0) {
+      // checkpoint the per-group size table (one row per group): both the
+      // census scalar and the mixed-route key table read it, and without
+      // the checkpoint the second consumer would re-run the full-df
+      // groupBy scan from scratch
       val sizes = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
         .filter(col("v").isNotNull)
         .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       // one scalar census decides the route; the homogeneous cases (all
       // groups small / all oversized — by far the common ones) then run on
       // `df` DIRECTLY, with no routing join in the plan at all. That
@@ -101,17 +116,19 @@ object Ntile {
         // genuinely mixed: split on the (rare) oversized-key table. At
         // most totalRows/windowCap keys; no broadcast hint — AQE
         // broadcasts it when small, shuffles when a huge input yields
-        // millions of oversized keys
+        // millions of oversized keys. Null-safe equality: a NULL group
+        // key is a real window-form group, and with plain === an
+        // oversized null-key group would never match its own key row and
+        // silently fall through to the single-task window path
         val largeKeys = sizes.filter(col("n") > windowCap)
           .select(col("g").as("__ntile_g"))
-          .localCheckpoint(true)
         // the machinery re-executes its input subplan per pass, so `large`
         // pays the semi-join once per pass — the same order as the raw
         // re-scan the machinery already does, and unlike materializing the
         // oversized half (which at 100 TB could be most of the input) it
         // has no storage cliff
-        val small = df.join(largeKeys, groupCol === col("__ntile_g"), "left_anti")
-        val large = df.join(largeKeys, groupCol === col("__ntile_g"), "left_semi")
+        val small = df.join(largeKeys, groupCol <=> col("__ntile_g"), "left_anti")
+        val large = df.join(largeKeys, groupCol <=> col("__ntile_g"), "left_semi")
         return windowPath(small, groupCol, valueCol, idCol, k, outCol)
           .unionByName(distributedPath(large, groupCol, valueCol, idCol, k,
             outCol, tieCap, maxRounds))
@@ -152,7 +169,13 @@ object Ntile {
       tieCap: Long,
       maxRounds: Int): DataFrame = {
 
-    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"),
+    // the group key travels through the machinery wrapped in a one-field
+    // struct: struct comparison matches null fields (verified Spark
+    // semantics, pinned by NtileSpec's null-group case), so every
+    // using-column join below is null-safe and a NULL group key gets real
+    // tiles instead of silently dropping out of the equi-joins
+    val gKey = struct(groupCol)
+    val base = df.select(gKey.as("g"), valueCol.cast("double").as("v"),
         idCol.cast("long").as("id"))
       .filter(col("v").isNotNull)
 
@@ -181,6 +204,18 @@ object Ntile {
       discrete = true, rankFor = Some(rankFor))
       .localCheckpoint(true)
 
+    // census-gated broadcast (same discipline as Dedup's expansion joins):
+    // every boundary-side table below holds O(groups × k) cells, which at
+    // windowCap=1M and a 10^13-row input can reach 10^7 oversized groups —
+    // a forced broadcast there is a multi-hundred-MB replica on every
+    // executor. Force the hint only while the cell count is comfortably
+    // in-memory; past the cap AQE picks the join side (and at millions of
+    // groups it will correctly shuffle). bounds is checkpointed, so the
+    // census count is a scan of in-memory partitions, not a re-run
+    val nDistGroups = bounds.count()
+    def bc(d: DataFrame): DataFrame =
+      if (nDistGroups * k <= 2000000L) broadcast(d) else d
+
     // -- one exact pass: per-group n plus, per boundary, the count strictly
     //    below its value and the size of its tied run (map-side combinable;
     //    the broadcast bounds row is 1:1 per group — no row blowup)
@@ -193,7 +228,7 @@ object Ntile {
         min(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idlo$i"),
         max(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idhi$i"))
     }
-    val counted = base.join(broadcast(bounds), "g")
+    val counted = base.join(bc(bounds), "g")
       .groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
       .join(bounds, "g")
 
@@ -227,7 +262,7 @@ object Ntile {
     //    run exceeds the collect cap and must bisect.
     val bvCols = (1 to k - 1).map(i => col(s"__bv$i"))
     def tiedRows(src: DataFrame): DataFrame =
-      src.join(broadcast(bounds), "g")
+      src.join(bc(bounds), "g")
         .filter(bvCols.map(col("v") === _).reduce(_ || _))
         .select(col("g"), col("v"), col("id"))
 
@@ -244,7 +279,7 @@ object Ntile {
       val act = state.where(active)
         .select(col("g"), col("i"), col("bv"), col("kk"), col("lo"), col("hi"),
           (col("lo") + (col("hi") - col("lo")) / 2).as("mid"))
-      val halves = tied.join(broadcast(act), Seq("g"))
+      val halves = tied.join(bc(act), Seq("g"))
         .filter(col("v") === col("bv") && col("id").between(col("lo"), col("hi")))
         .groupBy(col("g"), col("i"))
         .agg(
@@ -267,7 +302,7 @@ object Ntile {
     // -- final selection: every surviving slice holds ≤ tieCap ids (or a
     //    collapsed lo==hi interval) — sorted-collect and index by kk
     val bids = (if (tied == null) tiedRows(base) else tied)
-      .join(broadcast(state), Seq("g"))
+      .join(bc(state), Seq("g"))
       .filter(col("v") === col("bv") && col("id").between(col("lo"), col("hi")))
       .groupBy(col("g"), col("i"), col("kk"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -293,9 +328,13 @@ object Ntile {
         (v === col(s"__bv$i") && id > col(s"__bid$i"))).cast("int")
     }.reduce(_ + _)).cast("int")
     // internal join key gets a reserved name so a caller column named "g"
-    // can't collide (NtileSpec exercises exactly that)
-    df.join(broadcast(bWide.withColumnRenamed("g", "__ntile_g")),
-        groupCol === col("__ntile_g"))
+    // can't collide (NtileSpec exercises exactly that). LEFT join: a group
+    // whose sort values are ALL null has no bounds row, and an inner join
+    // would silently drop its rows — the left join leaves every boundary
+    // column null so the tile expression (null comparisons) yields the
+    // contract's NULL tile, identical to the window path's null posture
+    df.join(bc(bWide.withColumnRenamed("g", "__ntile_g")),
+        gKey === col("__ntile_g"), "left")
       .withColumn(outCol, tile)
       .drop((Seq("__ntile_g") ++ (1 to k - 1).flatMap(i =>
         Seq(s"__bv$i", s"__bid$i"))): _*)

@@ -64,8 +64,13 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
         .select(col("o_orderstatus"), col("o_custkey"))
         .distinct()
         .groupBy(col("o_orderstatus"))
+        // count(col), not count(*): a NULL custkey survives distinct() as
+        // a (status, NULL) row, and SQL COUNT(DISTINCT o_custkey) — the
+        // declared oracle — excludes NULLs, as does approx_count_distinct;
+        // counting the column keeps all three null-consistent while an
+        // all-NULL status group still surfaces (with exact_cust = 0)
         .agg(
-          count(lit(1)).as("exact_cust"),
+          count(col("o_custkey")).as("exact_cust"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust")) <=

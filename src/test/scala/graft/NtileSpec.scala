@@ -135,6 +135,50 @@ class NtileSpec extends SparkSpec {
     assert(nonNull.exceptAll(want).isEmpty && want.exceptAll(nonNull).isEmpty)
   }
 
+  test("a group whose sort values are ALL null keeps its rows at a NULL tile on both routes") {
+    import spark.implicits._
+    // such a group has NO boundary row, so an inner final join would
+    // silently drop it from the machinery route while the window route
+    // kept it — output row count must never depend on the route taken
+    val df = ((1 to 10).map(i => ("allnull", Option.empty[Double], i.toLong)) ++
+      (1 to 20).map(i => ("real", Some(i.toDouble), i.toLong))).toDF("g", "v", "id")
+    Seq(0L, 1000000L).foreach { cap =>
+      val got = Ntile.exact(df, col("g"), col("v"), col("id"), 4, windowCap = cap)
+      assert(got.count() === 30, s"windowCap=$cap dropped rows")
+      val an = got.filter(col("g") === "allnull").select("tile").collect()
+      assert(an.length === 10 && an.forall(_.isNullAt(0)), s"windowCap=$cap")
+    }
+  }
+
+  test("NULL group key is a real group on every route, matching the window form") {
+    import spark.implicits._
+    // the window form groups null partition keys together; the operator
+    // must too — on the window route, on the forced machinery route
+    // (struct-wrapped key through every equi-join), and on the mixed route
+    // where the null-key group is the OVERSIZED one (null-safe routing
+    // joins; plain === would strand all its rows on the window path)
+    val rows =
+      (1 to 300).map(i => (Option.empty[String], ((i * 31) % 5).toDouble, i.toLong)) ++
+      (1 to 60).map(i => (Some("s"), ((i * 31) % 5).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    Seq(0L, 100L, 1000000L).foreach { cap =>
+      val got = Ntile.exact(df, col("g"), col("v"), col("id"), 7, windowCap = cap)
+        .select(col("g"), col("v"), col("id"), col("tile"))
+      val want = windowTiles(df, 7).select(col("g"), col("v"), col("id"), col("tile"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"windowCap=$cap")
+    }
+    // homogeneous oversized null-key input: the census routes the WHOLE
+    // df to the machinery, so this pins the struct-keyed joins end-to-end
+    val onlyNull = rows.take(300).toDF("g", "v", "id")
+    val got = Ntile.exact(onlyNull, col("g"), col("v"), col("id"), 7,
+        windowCap = 100)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    val want = windowTiles(onlyNull, 7)
+      .select(col("g"), col("v"), col("id"), col("tile"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("null sort values surface as NULL tiles, never misbin non-null rows") {
     import spark.implicits._
     val df = (Seq(("a", Option.empty[Double], 0L)) ++
