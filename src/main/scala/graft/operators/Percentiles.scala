@@ -73,7 +73,10 @@ import org.apache.spark.sql.functions._
   * cost shrinks geometrically. Driver-side control flow sees only
   * booleans (limit-1 isEmpty probes) and per-round tiny checkpointed
   * state frames — never data rows. NULL values are excluded up front
-  * (both engines' percentile semantics ignore them).
+  * (both engines' percentile semantics ignore them). A NULL GROUP KEY is
+  * a real group (as in SQL GROUP BY): the machinery carries the key in a
+  * one-field struct so the internal equi-joins match null keys, and the
+  * group surfaces in the output like any other.
   */
 object Percentiles {
 
@@ -130,7 +133,14 @@ object Percentiles {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+    // the group key travels through the machinery wrapped in a one-field
+    // struct (same null-safe-join idiom as [[Ntile.exact]]): struct
+    // equality matches null fields, so a NULL group key — a real group,
+    // as in any SQL GROUP BY — survives every using-column equi-join
+    // below instead of silently vanishing from the output at the first
+    // base ⋈ brackets join. Unwrapped again at the output select.
+    val base = df.select(struct(groupCol.as("__pk")).as("g"),
+        valueCol.cast("double").as("v"))
       .filter(col("v").isNotNull)
 
     // -- pass 1: per-group n + sketch brackets (wide), then explode to the
@@ -320,5 +330,8 @@ object Percentiles {
         .as(name)
     }
     perTarget.groupBy(col("g")).agg(outCols.head, outCols.tail: _*)
+      // unwrap the struct key back to the caller's group values (nulls
+      // included) so the output contract is unchanged
+      .withColumn("g", col("g.__pk"))
   }
 }

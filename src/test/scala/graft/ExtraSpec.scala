@@ -104,6 +104,27 @@ class ExtraSpec extends SparkSpec {
     assert(rows("b") == ref(Seq(1.0, 2.0, 3.0), 0.95))
   }
 
+  test("Percentiles.exact keeps a NULL group key as a real group") {
+    import spark.implicits._
+    // a null key would silently vanish at the first internal equi-join
+    // without the struct-wrapped key — the output must carry it like any
+    // SQL GROUP BY, with exact values; force both machinery regimes
+    // (whole-group fallback AND sketch/bisection) via smallFloor
+    val rows = (1 to 2000).map(i => (Option.empty[String], i.toDouble)) ++
+      (1 to 50).map(i => (Some("a"), i.toDouble))
+    val df = rows.toDF("grp", "v")
+    Seq(10000L, 100L).foreach { floor =>
+      val got = graft.operators.Percentiles.exact(
+          df, col("grp"), col("v"), Seq("p50" -> 0.5), smallFloor = floor)
+        .collect().map(r => Option(r.getString(0)) -> r.getAs[Double]("p50"))
+        .toMap
+      assert(got.keySet == Set(None, Some("a")), s"smallFloor=$floor")
+      // r=(n-1)p: 1..2000 -> 1000.5; 1..50 -> 25.5
+      assert(got(None) == 1000.5 && got(Some("a")) == 25.5,
+        s"smallFloor=$floor")
+    }
+  }
+
   test("generic-rank UDF truncation equals the codegen'd typed path on all driver rows") {
     // STRING-level identity, stronger than the shared scalar oracle the
     // q_udf_geo_truncate query now pairs with: the UDF's raw-text walk and
