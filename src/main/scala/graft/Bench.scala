@@ -142,9 +142,18 @@ object Bench {
     // the tables a measurement needs — probe existence first, or Spark's
     // FileStreamSink WARN logs a full stack trace per missing table
     // before the catch sees it (hundreds of noise lines per scale run).
+    // probe through the Hadoop FS layer, not java.nio: the probe must see
+    // every path Spark itself can read (hdfs://, s3a://, file:// URIs),
+    // or a remote sfDir would silently skip the whole warm-up pass and
+    // the first measured query would absorb the startup cost anyway
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
+      val probed =
+        try {
+          val p = new org.apache.hadoop.fs.Path(sfDir, s"$t.parquet")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        } catch { case _: Throwable => true } // unprobeable -> let load try
+      if (probed)
         try graft.sources.Tables.load(spark, sfDir, t).count()
         catch { case _: Throwable => () }
     }

@@ -288,7 +288,7 @@ object Dedup {
     * DedupSpec pins the two routes equal on the same graph).
     * `driverCap = 0` forces the distributed loop.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 8,
+  def clusters(pairs: DataFrame, maxIter: Int = 64,
       driverCap: Long = 1L << 20): DataFrame = {
     // Both edge directions explode from ONE evaluation of `pairs`: a
     // union of pairs with pairs-swapped executes the pair-generation
@@ -360,7 +360,17 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
+    // run TO CONVERGENCE — the per-row `changed` flag is the exit, and
+    // maxIter is a loud pathology bound, never a silent truncation: at 8
+    // rounds a >2^8-deep chain would have returned multi-label components
+    // and quietly broken the "identical labels by construction" contract
+    // with the driver route. 64 rounds cover 2^64-deep chains (more nodes
+    // than long ids), so the require is unreachable for any real graph;
+    // converged graphs still exit at their own round count, so the
+    // common-case cost is unchanged.
+    while (!done) {
+      require(iter < maxIter,
+        s"connected components did not converge in $maxIter rounds")
       val nbrMin = edgesCk
         .join(labels.select(col("id").as("dst_id"), col("cluster").as("dst_cluster")),
           col("dst") === col("dst_id"))
@@ -499,7 +509,8 @@ object Dedup {
     * the sort it replaces).
     */
   def clustersExactFirst(docs: DataFrame, threshold: Double = 0.5,
-      broadcastCap: Long = 1L << 17): DataFrame = {
+      broadcastCap: Long = 1L << 17,
+      driverCap: Long = 1L << 20): DataFrame = {
     val nonDegenerate = docs.select(col("id"), col("text"))
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
     // Eager checkpoint: [[clusters]] materializes its edge graph in its
@@ -511,8 +522,12 @@ object Dedup {
     val groups = nonDegenerate.groupBy(col("text"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
       .localCheckpoint(true)
+    // `driverCap` passes through to [[clusters]]' route choice so probes
+    // (CefProbe) can A/B the CC routes on the REAL operator instead of a
+    // drift-prone inlined copy of this body
     val repLabels = clusters(minhashPairs(
-        groups.select(col("rep").as("id"), col("text")), threshold))
+        groups.select(col("rep").as("id"), col("text")), threshold),
+        driverCap = driverCap)
       .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
     val labeled = groups.join(repLabels, col("rep") === col("rep_id"), "left")
       .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)

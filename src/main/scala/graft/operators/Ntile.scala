@@ -223,8 +223,9 @@ object Ntile {
       Seq(
         sum(when(col("v") < col(s"__bv$i"), 1L).otherwise(0L)).as(s"__below$i"),
         sum(when(col("v") === col(s"__bv$i"), 1L).otherwise(0L)).as(s"__m$i"),
-        // the run's real id extremes seed the bisection interval (a
-        // sentinel ±Long.MaxValue interval would overflow the midpoint)
+        // the run's real id extremes seed the bisection interval — tight
+        // from round one, and the overflow-safe midpoint below is exact
+        // even for extremes straddling the full long domain
         min(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idlo$i"),
         max(when(col("v") === col(s"__bv$i"), col("id"))).as(s"__idhi$i"))
     }
@@ -274,11 +275,24 @@ object Ntile {
       require(rounds < maxRounds,
         s"NTILE tie bisection did not converge in $maxRounds rounds")
       if (tied == null)
-        tied = tiedRows(base).repartition(col("g"), col("v"))
+        // spread by id too: hashing only (g, v) would concentrate a mega
+        // tie run — the exact case this path exists for — into ONE
+        // partition, re-serializing every bisection round through a single
+        // task. Including id spreads the run evenly at the same shuffle
+        // cost; the downstream aggregates are map-side combinable, so no
+        // co-location by (g, v) is needed
+        tied = tiedRows(base).repartition(col("g"), col("v"), col("id"))
           .localCheckpoint(true)
+      // overflow-safe exact long midpoint: (lo & hi) + ((lo ^ hi) >> 1) is
+      // floor((lo+hi)/2) in pure integer arithmetic. The naive
+      // lo + (hi - lo)/2 wraps when the extremes straddle more than 2^63,
+      // and Spark's `/` is DOUBLE division — a mid past 2^53 loses
+      // exactness and a round can refine nothing. For lo < hi this mid
+      // satisfies lo <= mid < hi, so both halves strictly shrink
       val act = state.where(active)
         .select(col("g"), col("i"), col("bv"), col("kk"), col("lo"), col("hi"),
-          (col("lo") + (col("hi") - col("lo")) / 2).as("mid"))
+          (col("lo").bitwiseAND(col("hi")) +
+            shiftright(col("lo").bitwiseXOR(col("hi")), 1)).as("mid"))
       val halves = tied.join(bc(act), Seq("g"))
         .filter(col("v") === col("bv") && col("id").between(col("lo"), col("hi")))
         .groupBy(col("g"), col("i"))

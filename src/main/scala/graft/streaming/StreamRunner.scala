@@ -285,12 +285,18 @@ object StreamRunner {
     // Stream ≡ batch results are provider-independent (StreamingSpec
     // pins both).
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    // unrecognized values fail LOUDLY: a typo ("rocks") silently falling
+    // back to the heap store while the log prints the raw value would
+    // corrupt exactly the provider-crossover measurements this knob exists
+    // for — a cell believed to be RocksDB would have measured the heap
     val spark = (provider.toLowerCase match {
       case "rocksdb" => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-      case _ => builder
+      case "hdfs" => builder
+      case other => sys.error(
+        s"SPARK_GRAFT_STATE_STORE=$other is not a provider; use hdfs|rocksdb")
     }).getOrCreate()
     println(s"[streambench] state store provider: $provider")
     spark.sparkContext.setLogLevel("WARN")

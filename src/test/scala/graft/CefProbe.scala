@@ -38,23 +38,11 @@ object CefProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
 
-    // clustersExactFirst verbatim, with clusters()' driverCap exposed
-    def cef(driverCap: Long) = {
-      val nonDegenerate = docs.filter(trim(coalesce(col("text"), lit(""))) =!= "")
-      val groups = nonDegenerate.groupBy(col("text"))
-        .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
-        .localCheckpoint(true)
-      val repLabels = Dedup.clusters(Dedup.minhashPairs(
-          groups.select(col("rep").as("id"), col("text")), 0.5),
-          driverCap = driverCap)
-        .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
-      val labeled = groups.join(repLabels, col("rep") === col("rep_id"), "left")
-        .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
-        .select(col("text"),
-          coalesce(col("rep_cluster"), col("rep")).as("cluster"))
-      nonDegenerate.join(labeled, Seq("text"))
-        .select(col("id"), col("cluster"))
-    }
+    // the REAL operator with clusters()' driverCap plumbed through — an
+    // inlined copy of its body here would silently drift from the shape
+    // being attributed (the census-gated expansion broadcast already did)
+    def cef(driverCap: Long) =
+      Dedup.clustersExactFirst(docs, threshold = 0.5, driverCap = driverCap)
 
     for (arm <- Seq("driver" -> (1L << 20), "distributed" -> 0L);
          r <- 1 to reps) {

@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters: a chain deeper than the old 8-round bound still converges (distributed route)") {
+    import spark.implicits._
+    // a 700-node path graph has diameter 699 > 2^8: under the former
+    // fixed maxIter=8 exit the distributed loop returned UNCONVERGED
+    // multi-label components silently, diverging from the driver route the
+    // scaladoc declares identical (r7 review). The loop now runs to its
+    // `changed`-flag fixpoint (~log2(diameter) rounds), so both routes
+    // must agree on the single min-id component.
+    val chain = (1 to 699).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    Seq(0L, 1L << 20).foreach { cap =>
+      val got = Dedup.clusters(chain, driverCap = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 700 && got.values.forall(_ == 1L), s"driverCap=$cap")
+    }
+  }
+
   test("clusters over minhash pairs group the planted dups under the min id") {
     val got = Dedup.clusters(Dedup.minhashPairs(corpus, threshold = 0.5))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

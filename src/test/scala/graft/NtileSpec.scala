@@ -67,6 +67,22 @@ class NtileSpec extends SparkSpec {
     assertSame(df, 10, tieCap = 64)
   }
 
+  test("bisection interval straddling the long domain cannot overflow the midpoint") {
+    import spark.implicits._
+    // one constant-valued group whose ids reach from near Long.MinValue to
+    // near Long.MaxValue: hi - lo wraps negative in raw long subtraction,
+    // so the naive lo + (hi - lo)/2 midpoint refines NOTHING and burns
+    // maxRounds before throwing (the r7 review's failure case). The
+    // overflow-safe (lo & hi) + ((lo ^ hi) >> 1) form must converge to the
+    // window form's exact tie-break ids. Ids are irregular on both sides
+    // of zero so midpoints land in both halves across rounds.
+    val ids = (1 to 600).map(i => Long.MinValue + 7 + i.toLong * 9973) ++
+      (1 to 600).map(i => Long.MaxValue - 11 - i.toLong * 7919) ++
+      (1 to 300).map(i => i.toLong * 31 - 4650)
+    val df = ids.distinct.map(id => ("straddle", 1.0, id)).toDF("g", "v", "id")
+    assertSame(df, 7, tieCap = 16)
+  }
+
   test("mixed tie runs and spread values, bisection forced") {
     import spark.implicits._
     // half the rows pile onto two hot values, half spread — boundaries can
