@@ -205,13 +205,24 @@ object Percentiles {
       when(small, col("vmin")).otherwise(element_at(col("qs"), i * 2 + 1))
     def hiEx(i: Int): Column =
       when(small, col("vmax")).otherwise(element_at(col("qs"), i * 2 + 2))
+    // project the 2T bracket bounds to SCALAR columns between the join and
+    // the aggregate: leaving the element_at(qs, …) lookups inside the sum
+    // expressions makes every aggregate update re-walk the array (and
+    // drags the full qs array through the aggregate input row) — measured
+    // 17.0 vs 9.1 s (≈ the join's own floor) over a 20 M-row group at
+    // T=9 (MegaTieProbe4, r7)
+    val probeProj = Seq(col("g"), col("v")) ++ targets.indices.flatMap { i =>
+      Seq(loEx(i).as(s"__plo$i"), hiEx(i).as(s"__phi$i"))
+    }
     val probeAggs = targets.indices.flatMap { i =>
       Seq(
-        sum(when(col("v") < loEx(i), 1L).otherwise(0L)).as(s"__below$i"),
-        sum(when(col("v").between(loEx(i), hiEx(i)), 1L).otherwise(0L))
-          .as(s"__cnt$i"))
+        sum(when(col("v") < col(s"__plo$i"), 1L).otherwise(0L))
+          .as(s"__below$i"),
+        sum(when(col("v").between(col(s"__plo$i"), col(s"__phi$i")), 1L)
+          .otherwise(0L)).as(s"__cnt$i"))
     }
     val probed = base.join(broadcast(br), "g")
+      .select(probeProj: _*)
       .groupBy(col("g")).agg(probeAggs.head, probeAggs.tail: _*)
       .select(col("g"), explode(array(targets.zipWithIndex.map {
         case ((name, _), i) =>
@@ -220,10 +231,19 @@ object Percentiles {
       }: _*)).as("pb"))
       .select(col("g"), col("pb.t").as("t"),
         col("pb.below").as("below"), col("pb.cnt").as("cnt"))
+    // a bracket whose interval is ALREADY collapsed (lo >= hi — every
+    // in-bracket value equals lo, e.g. a constant-valued mega run) is done
+    // before the loop starts: the enclosure require below proves the target
+    // ranks sit inside the run, so the element at both ranks IS lo. Without
+    // this the loop's first round would materialize the full T·cnt-row
+    // subset only to apply the same lo >= hi rule one pass later — measured
+    // 258 s → 11 s on a 20 M-row constant group ([[Ntile.exact]]'s forced-
+    // bisection probe, MegaTieProbe2, r7)
+    val collapsed = col("lo") >= col("hi")
     var state = st0.join(probed, Seq("g", "t"))
-      .withColumn("done", lit(false))
-      .withColumn("el_lo", lit(null).cast("double"))
-      .withColumn("el_hi", lit(null).cast("double"))
+      .withColumn("done", collapsed)
+      .withColumn("el_lo", when(collapsed, col("lo")).cast("double"))
+      .withColumn("el_hi", when(collapsed, col("lo")).cast("double"))
       .localCheckpoint(true)
     // a bracket that failed to enclose its target ranks fails LOUDLY here
     // rather than interpolating a wrong value downstream
@@ -243,11 +263,16 @@ object Percentiles {
       if (subset == null) {
         // one-time: materialize only in-bracket rows, tagged per target —
         // every later pass scans this (T·2δn)-row frame, not the parent
+        // keep the parent's natural partitioning: the per-round halves
+        // aggregate is map-side combinable, so co-locating by (g, t) buys
+        // nothing — and hashing (g, t) would concentrate one mega group's
+        // bracket into T partitions, re-serializing every round through T
+        // tasks (the same concentration defect the r7 review removed from
+        // [[Ntile]]'s tied slice)
         subset = base.join(broadcast(st0.select(col("g"), col("t"),
             col("lo").as("lo0"), col("hi").as("hi0"))), "g")
           .filter(col("v").between(col("lo0"), col("hi0")))
           .select(col("g"), col("t"), col("v"))
-          .repartition(col("g"), col("t"))
           .localCheckpoint(true)
       }
       val act = state.where(active(state))
@@ -301,12 +326,20 @@ object Percentiles {
     //    ranks, interpolate; bisection-resolved targets skip the collect
     val pending = state.where(!col("done"))
       .select(col("g"), col("t"), col("lo").as("flo"), col("hi").as("fhi"))
-    val collectSrc = if (subset == null) {
+    val src0 = if (subset == null) {
       base.join(broadcast(st0.select(col("g"), col("t"),
           col("lo").as("lo0"), col("hi").as("hi0"))), "g")
         .filter(col("v").between(col("lo0"), col("hi0")))
         .select(col("g"), col("t"), col("v"))
     } else subset
+    // when every target resolved up front (all brackets collapsed — the
+    // constant-value case) there is nothing to collect: pin the slice scan
+    // to limit(0) so OptimizeLimitZero folds it to an empty relation at
+    // plan time instead of relying on AQE to propagate the empty broadcast
+    // side through the returned (lazy) plan. `pending` reads only the
+    // checkpointed tiny state, so this driver probe is free
+    val collectSrc =
+      if (pending.limit(1).isEmpty) src0.limit(0) else src0
     val slices = collectSrc
       .join(broadcast(pending), Seq("g", "t"))
       .filter(col("v").between(col("flo"), col("fhi")))
