@@ -66,6 +66,30 @@ object Bench {
   private[graft] def normalizedTotal(value: Double, spinMs: Double): Double =
     if (spinMs > 0.0) value * (1000.0 / spinMs) else value
 
+  private def fmt(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Ultra-compact whole-run record (VERDICT r7 item 6): total, query
+    * count, retry count, spin marker, normalized total — ~120 chars, no
+    * per-query entries. Printed FIRST so the driver's 2 KB stdout tail
+    * always captures one machine-readable line even when the per-query
+    * line plus sbt's trailing "[success]" fills the rest of the window
+    * (`BENCH_r{3..7}.json` all recorded `"parsed": null`). Both lines
+    * together must stay under the window — [[perQueryBudget]] keeps the
+    * long line's share down.
+    */
+  private[graft] def compactLine(total: Double, nq: Int, nretried: Int,
+      spinMs: Double, sf: String): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
+      s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
+      s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":"$sf"}"""
+
+  /** Character budget for the per-query stdout line: compact line (~140)
+    * + this + sbt's "[success] Total time ..." tail (~40) must fit the
+    * driver's 2000-char window with margin.
+    */
+  private[graft] val perQueryBudget = 1500
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // time the contention marker FIRST (after a short JIT warm pass), while
@@ -146,16 +170,23 @@ object Bench {
     // every path Spark itself can read (hdfs://, s3a://, file:// URIs),
     // or a remote sfDir would silently skip the whole warm-up pass and
     // the first measured query would absorb the startup cost anyway
+    // NonFatal only (r7 ADVICE): a fatal error here (OOM, interrupt) must
+    // propagate, not masquerade as a silent warm-up skip that leaves a
+    // genuinely broken FS config invisible — skips are logged by name.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       val probed =
         try {
           val p = new org.apache.hadoop.fs.Path(sfDir, s"$t.parquet")
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        } catch { case _: Throwable => true } // unprobeable -> let load try
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up probe $t: $e")
+          true // unprobeable -> let load try
+        }
       if (probed)
         try graft.sources.Tables.load(spark, sfDir, t).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up skip $t: ${errorHead(e)}") }
     }
     // warm the execution machinery itself (Janino/codegen, window exec,
     // generators, hash aggregation, sort) on a tiny synthetic plan, so the
@@ -197,7 +228,8 @@ object Bench {
         tiny.select(col("id"), col("k")).as[(Long, Long)]
           .flatMap(t => Seq(t, t)).count()
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] codegen warm-up skipped: ${errorHead(e)}") }
     // Optional comma-separated query-name filter for profiling single
     // queries (e.g. SPARK_GRAFT_ONLY=q_dedup_clusters,q_text_tfidf).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -259,7 +291,6 @@ object Bench {
       name -> (if (retried.isEmpty) -1.0 else retried.min) // -1 marks a broken query
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Full per-query detail — too long for the driver's 2000-char stdout
     // tail window (the r2 one-liner with all 89 queries at full precision
     // was truncated mid-line and failed to parse) — goes to a file.
@@ -274,12 +305,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
-    // The ONE stdout JSON line must fit the tail window WITH sbt's trailing
-    // "[success] Total time ..." line. Budget ~1700 chars: keep the total
-    // (the graded metric) plus per-query entries by descending time —
-    // broken queries (-1) always included — until the budget runs out.
+    // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
+    // first the ultra-compact whole-run record (always parseable — r7
+    // item 6: every BENCH_r{3..7}.json landed `"parsed": null` because
+    // the single budgeted line plus sbt's prefix chatter overflowed the
+    // window), then the per-query detail line, budgeted so compact +
+    // detail + sbt's trailing "[success] Total time ..." still fit.
+    println(compactLine(total, results.size, retriedNames.size, spinMs, sfDir))
     val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
-    val budget = 1700
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
@@ -290,7 +323,7 @@ object Bench {
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + fmt(v)
-      if (used + entry.length + 1 <= budget) { shown += entry; used += entry.length + 1 }
+      if (used + entry.length + 1 <= perQueryBudget) { shown += entry; used += entry.length + 1 }
     }
     println(prefix + shown.mkString(",") + suffix)
     spark.stop()

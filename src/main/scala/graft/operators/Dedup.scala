@@ -452,16 +452,22 @@ object Dedup {
       .groupBy(col("text")).agg(min(col("id")).as("id"))
       .select(col("id"), col("text"))
       .localCheckpoint(true)
+    // Checkpointed BEFORE the census count (r7 ADVICE): keepIds is read
+    // twice — once by the gate's count() and once by the keep-join when
+    // the returned plan runs — and without materialization the
+    // reps-level survivors join would execute twice. It is tiny by the
+    // cap's own argument (one bare long per surviving distinct text), so
+    // materializing it eagerly costs what the count alone already did.
     val keepIds = survivors(reps, threshold).select(col("id"))
+      .localCheckpoint(true)
     // Census-gated broadcast of the keep side (same discipline as
     // [[clustersExactFirst]]'s expansion join, and for the same reason:
     // keepIds descends from CHECKPOINTED frames whose stats Catalyst
     // cannot see, so the semi-join would otherwise shuffle the whole
     // corpus by id against a few-thousand-row right side). keepIds is one
-    // bare long per surviving DISTINCT text; counting it is a small-join
-    // job over materialized inputs (reps is checkpointed and [[clusters]]
-    // has already materialized its labels by the time this DataFrame
-    // exists), not a corpus scan. 2^22 ids ≈ 32 MB broadcast.
+    // bare long per surviving DISTINCT text; counting the materialized
+    // frame is a scan of in-memory partitions. 2^22 ids ≈ 32 MB
+    // broadcast.
     val keep = if (keepIds.count() <= broadcastCap) broadcast(keepIds)
                else keepIds
     docs.filter(!degenerate).join(keep, Seq("id"), "left_semi")
@@ -529,10 +535,17 @@ object Dedup {
         groups.select(col("rep").as("id"), col("text")), threshold),
         driverCap = driverCap)
       .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
+    // Checkpointed BEFORE the census count (r7 ADVICE): `labeled` feeds
+    // the gate's count() AND the expansion join — separate query
+    // executions — so without materialization the groups ⋈ repLabels
+    // join over the checkpointed inputs would run twice. It is bounded by
+    // the distinct-text count (the cap's own argument), so the eager
+    // checkpoint costs one small-join job the count was paying anyway.
     val labeled = groups.join(repLabels, col("rep") === col("rep_id"), "left")
       .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
       .select(col("text"),
         coalesce(col("rep_cluster"), col("rep")).as("cluster"))
+      .localCheckpoint(true)
     // Census-gated broadcast of the expansion side. `labeled` descends
     // from checkpointed frames, so Catalyst sees no stats and plans the
     // text join as a sort-merge — shuffling AND sorting the whole corpus
@@ -541,8 +554,7 @@ object Dedup {
     // put 50 M ~1 KB texts through an exchange; the A/B probe clocked
     // that shape at 48–114 s/run with the CC route making no difference —
     // the shuffle was the entire story). Counting `labeled` is a
-    // small-join job over materialized inputs ([[clusters]] has already
-    // run by the time this DataFrame exists), not a corpus scan. The cap
+    // scan of its checkpointed in-memory partitions, not a corpus scan. The cap
     // is rows of (text, cluster) — 2^17 rows ≈ 100–300 MB at typical
     // document sizes, the upper end of a comfortable broadcast; above it
     // (a mostly-unique corpus where near-dup clusters rival the corpus)

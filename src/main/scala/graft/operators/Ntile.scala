@@ -78,6 +78,36 @@ import org.apache.spark.sql.functions._
   */
 object Ntile {
 
+  /** The boundary machinery's sketch knobs and rank rule, exposed so the
+    * measurement probes (MegaTieProbe2/3/4) exercise the REAL derivation
+    * instead of a drift-prone inlined copy (r7 ADVICE: if the rank rule
+    * changes, an inlined probe silently measures a stale shape — the same
+    * hazard CefProbe avoids via clustersExactFirst's driverCap
+    * passthrough). [[distributedPath]] consumes exactly these.
+    */
+  private[graft] val boundaryDelta = 0.002
+  private[graft] val boundaryAccuracy = 2000
+
+  /** Sub-floor groups take the whole-group [vmin, vmax] bracket: NTILE's
+    * rank rule deviates from p·n by up to k rows, which must stay inside
+    * the (δ − 1/accuracy)·n enclosure margin — see the derivation at the
+    * use site.
+    */
+  private[graft] def boundarySmallFloor(k: Int): Long = {
+    val margin = boundaryDelta - 1.0 / boundaryAccuracy
+    math.max(10000L, math.ceil(2 * k / margin).toLong)
+  }
+
+  /** NTILE's exact 1-based boundary ranks: cum_i = i·q + min(i, n mod k)
+    * where q = n div k — the [[Percentiles.exact]] `rankFor` override.
+    */
+  private[graft] def boundaryRankFor(k: Int): (Column, Column) => Column =
+    (p, n) => {
+      val i = round(p * k).cast("long")
+      val q = (n / k).cast("long") // exact floor: integer-valued double < 2^53
+      i * q + least(i, n - q * k)
+    }
+
   def exact(
       df: DataFrame,
       groupCol: Column,
@@ -185,15 +215,10 @@ object Ntile {
     //    — the sketch's own rank error eats into the δ·n margin — take
     //    the whole-group [vmin, vmax] bracket (smallFloor below;
     //    Percentiles' enclosure require still guards every target loudly).
-    val delta = 0.002
-    val accuracy = 2000
-    val margin = delta - 1.0 / accuracy
-    val smallFloor = math.max(10000L, math.ceil(2 * k / margin).toLong)
-    val rankFor: (Column, Column) => Column = (p, n) => {
-      val i = round(p * k).cast("long")
-      val q = (n / k).cast("long") // exact floor: integer-valued double < 2^53
-      i * q + least(i, n - q * k)
-    }
+    val delta = boundaryDelta
+    val accuracy = boundaryAccuracy
+    val smallFloor = boundarySmallFloor(k)
+    val rankFor = boundaryRankFor(k)
     // checkpoint the one-row-per-group boundary frame: it feeds FOUR
     // consumers (count pass, tie scan, wide pivot, and the probe inside),
     // each of which would otherwise re-run the sketch/probe machinery

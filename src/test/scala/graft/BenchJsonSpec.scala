@@ -57,6 +57,22 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.normalizedTotal(80.0, -5.0) == 80.0)
   }
 
+  test("compact stdout line is short, parseable-shaped, and fits the tail window with the detail line") {
+    // VERDICT r7 item 6: every BENCH_r{3..7}.json recorded "parsed": null
+    // because the single budgeted line overflowed the driver's 2 KB tail.
+    // The compact line must carry the graded fields in ~150 chars, and
+    // compact + budgeted detail + sbt's trailing "[success]" must fit.
+    val line = Bench.compactLine(73.299, 111, 2, 757.4, "/root/testdata/sf0.1")
+    assert(line.length < 200, s"compact line too long: ${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":73.299,"))
+    for (k <- Seq("\"nq\":111", "\"nretried\":2", "\"spin_ms\":757.400",
+        "\"value_normalized\":", "\"sf\":"))
+      assert(line.contains(k), s"missing $k in $line")
+    assert(line.count(_ == '"') % 2 == 0 && line.last == '}')
+    // window arithmetic: both lines + sbt tail inside 2000 chars
+    assert(line.length + 1 + Bench.perQueryBudget + 1 + 60 < 2000)
+  }
+
   test("host-contention spin marker measures fixed CPU work and scales with it") {
     // the marker must time genuine work: positive, and ~10x the iterations
     // takes materially longer (loose factor — this spec also runs on

@@ -27,16 +27,12 @@ object MegaTieProbe2 {
     timed(s"warm count (n=$n)")(df.count())
 
     val k = 10
-    val delta = 0.002
-    val accuracy = 2000
-    val margin = delta - 1.0 / accuracy
-    val smallFloor = math.max(10000L, math.ceil(2 * k / margin).toLong)
-    val rankFor: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column = (p, nn) => {
-      val i = round(p * k).cast("long")
-      val q = (nn / k).cast("long")
-      i * q + least(i, nn - q * k)
-    }
+    // the REAL operator knobs (r7 ADVICE: an inlined copy silently
+    // measures a stale shape the day Ntile's rank rule changes)
+    val delta = graft.operators.Ntile.boundaryDelta
+    val accuracy = graft.operators.Ntile.boundaryAccuracy
+    val smallFloor = graft.operators.Ntile.boundarySmallFloor(k)
+    val rankFor = graft.operators.Ntile.boundaryRankFor(k)
     val base = df.select(struct(col("g")).as("g"), col("v"), col("id"))
     timed("Percentiles.exact bounds (the ntile knobs)") {
       graft.operators.Percentiles.exact(base, col("g"), col("v"),

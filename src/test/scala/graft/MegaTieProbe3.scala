@@ -32,9 +32,12 @@ object MegaTieProbe3 {
     val base = df.select(struct(col("g")).as("g"), col("v").as("v"))
       .filter(col("v").isNotNull)
     val k = 10
+    // the REAL operator knobs (r7 ADVICE — no inlined copies)
+    val delta = graft.operators.Ntile.boundaryDelta
+    val accuracy = graft.operators.Ntile.boundaryAccuracy
     val pcts = (1 to k - 1).flatMap { i =>
       val p = i.toDouble / k
-      Seq(math.max(0.0, p - 0.002), math.min(1.0, p + 0.002))
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta))
     }
 
     // stage A: the pass-1 sketch aggregate alone
@@ -42,7 +45,7 @@ object MegaTieProbe3 {
       val b = base.groupBy(col("g")).agg(
           count(lit(1)).as("n"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-          percentile_approx(col("v"), array(pcts.map(lit): _*), lit(2000))
+          percentile_approx(col("v"), array(pcts.map(lit): _*), lit(accuracy))
             .as("qs"))
         .localCheckpoint(true)
       b.count(); b
@@ -65,16 +68,12 @@ object MegaTieProbe3 {
 
     // stage C: full operator for reference
     timed("Percentiles.exact full (post-fix)") {
-      val rankFor: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-          org.apache.spark.sql.Column = (p, nn) => {
-        val i = round(p * k).cast("long")
-        val q = (nn / k).cast("long")
-        i * q + least(i, nn - q * k)
-      }
+      val rankFor = graft.operators.Ntile.boundaryRankFor(k)
       graft.operators.Percentiles.exact(
         df.select(col("g"), col("v")), col("g"), col("v"),
         targets = (1 to k - 1).map(i => (s"__bv$i", i.toDouble / k)),
-        delta = 0.002, accuracy = 2000, smallFloor = 13334L,
+        delta = delta, accuracy = accuracy,
+        smallFloor = graft.operators.Ntile.boundarySmallFloor(k),
         sliceCap = 1000000L, discrete = true, rankFor = Some(rankFor))
         .localCheckpoint(true).count()
     }

@@ -29,14 +29,17 @@ object MegaTieProbe4 {
     timed(s"warm count (n=$n)")(df.count())
     val base = df.select(struct(col("g")).as("g"), col("v"))
     val k = 10
+    // the REAL operator knobs (r7 ADVICE — no inlined copies)
+    val delta = graft.operators.Ntile.boundaryDelta
+    val accuracy = graft.operators.Ntile.boundaryAccuracy
     val pcts = (1 to k - 1).flatMap { i =>
       val p = i.toDouble / k
-      Seq(math.max(0.0, p - 0.002), math.min(1.0, p + 0.002))
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta))
     }
     val br = base.groupBy(col("g")).agg(
         count(lit(1)).as("n"),
         min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        percentile_approx(col("v"), array(pcts.map(lit): _*), lit(2000))
+        percentile_approx(col("v"), array(pcts.map(lit): _*), lit(accuracy))
           .as("qs"))
       .localCheckpoint(true)
     br.count()
