@@ -34,14 +34,12 @@ object NtileProbe {
 
     // the shared boundary machinery, at the same knobs Ntile.exact uses
     val k = 10
-    val delta = 0.002
-    val smallFloor = math.max(10000L, math.ceil(2 * k / delta).toLong)
-    val rankFor: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column = (p, n) => {
-      val i = round(p * k).cast("long")
-      val q = (n / k).cast("long")
-      i * q + least(i, n - q * k)
-    }
+    // the REAL operator knobs (r7 ADVICE — this probe's inlined
+    // smallFloor had ALREADY drifted: ceil(2k/delta)=10000 vs the
+    // operator's ceil(2k/margin)=13334)
+    val delta = graft.operators.Ntile.boundaryDelta
+    val smallFloor = graft.operators.Ntile.boundarySmallFloor(k)
+    val rankFor = graft.operators.Ntile.boundaryRankFor(k)
     val base = ev.select(col("event_type").as("g"),
         col("value").cast("double").as("v"), col("event_id").cast("long").as("id"))
       .filter(col("v").isNotNull)
