@@ -168,14 +168,23 @@ object Vectors {
     *    same fold, so bitwise-equal to knnLsh's value for the pair —
     *    and only the k+1 lowest ids (minus self) can survive.
     *
-    * So the final member-level window sees O(|members| · k²) rows
-    * instead of the duplicate-quadratic candidate set. A naive
+    * So NOTHING member-scale is ever windowed: the merged candidate set
+    * (≤ k² cross + k+1 own rows per rep) is ranked ONCE per rep, and
+    * members expand by pure array ops — drop the self row, slice the
+    * first k (r8; the prior shape windowed the member-level expansion,
+    * measured as the dominant stage at sf1000: 74 s over a 620 M-row
+    * shuffle, KnnProbe). Top k+1 per rep suffices because a member's
+    * candidate list differs from its rep's only by deleting AT MOST one
+    * row — itself: own ids live in its own group, cross ids in other
+    * groups, so self appears at most once, and the k survivors of a
+    * one-row deletion all sit inside the rep-level top k+1. A naive
     * expand-everything-then-rank variant was measured SLOWER than plain
     * knnLsh at sf1 (22 s vs 12 s — the window input is the whole
-    * quadratic set either way); this group-ranked shape is the one that
-    * pays. At 100 TB the partition-by-embedding shuffle carries full
-    * vectors once; shrink the key to xxhash64(embedding)+embedding if
-    * byte volume dominates (same plan shape).
+    * quadratic set either way). The earlier scaladoc's other candidate
+    * fix — shrinking the groupBy shuffle key if byte volume dominates —
+    * was measured NOT to matter and is not taken: the groups aggregate
+    * partial-aggregates map-side to ~distinct-vector volume and costs
+    * 1.3–1.9 s of the sf100/sf1000 runtimes (KnnProbe r8 attribution).
     *
     * PER-GROUP STATE IS BOUNDED (VERDICT r5 item 1): the only per-group
     * array anywhere is [[graft.functions.BottomIds]]' k+1-smallest-ids
@@ -234,28 +243,53 @@ object Vectors {
       .withColumn("grn", row_number().over(wg))
       .filter(col("grn") <= k)
       .drop("grn")
-    // expand: every member of the probe group × the candidate group's k
-    // lowest ids (k-ranked topGroups rows are few — AQE broadcasts them
-    // onto the membership rows)
-    val aMembers = members.select(col("rep").as("id_a"), col("member").as("ma"))
+    // rep-LEVEL candidate set: every member of a probe group shares the
+    // same candidates up to the self-exclusion below, so the ranking
+    // happens ONCE per rep over ≤ k² cross rows (k candidate groups ×
+    // their k lowest ids) plus k+1 own rows — never over the member-level
+    // expansion (r8: that window's 620 M-row shuffle was the measured
+    // dominant stage at sf1000, 74 s; this shape removes it entirely).
     val bMeta = lowArr.select(col("rep").as("id_b"),
       slice(col("low_ids"), 1, k).as("b_ids"))
-    val cross = topGroups.join(bMeta, "id_b").join(aMembers, "id_a")
-      .select(col("ma").as("id_a"),
+    val repCross = topGroups.join(bMeta, "id_b")
+      .select(col("id_a").as("rep"),
         explode(col("b_ids")).as("id_b"), col("cos_sim"))
-    // same-group: per member, the k+1 lowest-id co-members minus self
-    // (singleton groups drop before any work). cosine(v,v) uses the same
-    // fold as the pair score, so it stays bitwise-equal to knnLsh's
-    // value for the duplicate pair.
+    // same-group candidates: the k+1 lowest member ids at cosine(v,v) —
+    // computed with the same fold as the pair score, so bitwise-equal to
+    // knnLsh's value for the duplicate pair (singleton groups contribute
+    // nothing). Self stays IN the list here; each member deletes its own
+    // row in the array step.
     val selfSim = reps.select(col("vec_id").as("rep"),
       cosine(col("embedding"), col("embedding")).as("cos_sim"))
-    val own = members.select(col("rep"), col("member").as("id_a"))
-      .join(lowArr.filter(size(col("low_ids")) >= 2), "rep")
+    val repOwn = lowArr.filter(size(col("low_ids")) >= 2)
       .join(selfSim, "rep")
+      .select(col("rep"), explode(col("low_ids")).as("id_b"), col("cos_sim"))
+    // rank with EXACTLY topK's window semantics (cos_sim desc, id_b asc —
+    // including Spark's NaN-first-on-desc and tie order), materialize the
+    // rank into the array, and sort by it — the member step below never
+    // re-compares doubles. Cross and own ids are disjoint (other groups
+    // vs own group), so row_number is deterministic here.
+    val wr = Window.partitionBy(col("rep"))
+      .orderBy(col("cos_sim").desc, col("id_b"))
+    val repArr = repCross.unionByName(repOwn)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k + 1)
+      .groupBy(col("rep"))
+      .agg(array_sort(collect_list(
+        struct(col("rn"), col("id_b"), col("cos_sim")))).as("cand"))
+    // member expansion by ARRAY ops only: drop the self row (at most one),
+    // keep the first k. repArr joins on the same bare rep key members
+    // already carries — AQE broadcasts it in the duplication regime; in
+    // the duplicate-free regime it is a long-key shuffle join, still k+1
+    // bounded rows per key and far cheaper than the member-level window
+    // it replaces.
+    members.join(repArr, "rep")
+      .select(col("member").as("id_a"),
+        explode(slice(filter(col("cand"),
+          c => c.getField("id_b") =!= col("member")), 1, k)).as("c"))
       .select(col("id_a"),
-        explode(filter(col("low_ids"), x => x =!= col("id_a"))).as("id_b"),
-        col("cos_sim"))
-    topK(cross.unionByName(own), k)
+        col("c").getField("id_b").as("id_b"),
+        col("c").getField("cos_sim").as("cos_sim"))
   }
 
   /** IVF-style search: partition the corpus by its `label` column (the

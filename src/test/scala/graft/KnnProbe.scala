@@ -5,6 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch stage-timing probe for knnLshDeduped at scale — not a spec.
+  *
+  * The hand-inlined stage cells below are DELIBERATELY the r7 shape
+  * (member-level cross/own expansion ranked by a member-scale window):
+  * they are the A/B baseline whose attribution (r8) showed the final
+  * window dominating (74 s over a 620 M-row shuffle at sf1000) and the
+  * groups aggregate — the old scaladoc's byte-shrink candidate — costing
+  * 1.3–1.9 s. The "full noop write" cells call the REAL operator, i.e.
+  * the r8 rep-level-ranked array-expansion shape, in the same JVM.
+  *
   * Usage: SPARK_DRIVER_MEM=80g sbt "Test/runMain graft.KnnProbe tmp/sf100"
   */
 object KnnProbe {

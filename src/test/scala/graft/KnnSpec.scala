@@ -108,9 +108,32 @@ class KnnSpec extends SparkSpec {
       .crossJoin(broadcast(v0))
     val corpus = base.unionByName(mega)
     val res = Vectors.knnLshDeduped(corpus, k = 5)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list"),
-      "no whole-group array may be collected anywhere in the plan")
+    // r8: the ONE permitted collect_list is the rep-level candidate
+    // array, whose input a row_number rank filter bounds at k+1 rows per
+    // rep BEFORE aggregation — its buffer cannot scale with group size.
+    // Pin that every collect-bearing Aggregate in the plan has that
+    // bounding structure beneath it (a whole-group membership collect —
+    // the r5 hazard — would have neither the rank window nor the <= k+1
+    // filter below it and fails here).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Filter => LFilter, Window => LWindow}
+    val lp = res.queryExecution.optimizedPlan
+    val collAggs = lp.collect {
+      case a: LAggregate if a.aggregateExpressions.exists(
+        _.collectFirst { case c: CollectList => c }.nonEmpty) => a
+    }
+    assert(collAggs.nonEmpty,
+      "expected the bounded rep-level candidate collect in the plan")
+    collAggs.foreach { a =>
+      val hasRankWindow = a.child.collectFirst {
+        case w: LWindow if w.windowExpressions.toString.contains("row_number") => w
+      }.nonEmpty
+      val hasRankFilter = a.child.collectFirst {
+        case f: LFilter if f.condition.toString.contains("<= 6") => f
+      }.nonEmpty
+      assert(hasRankWindow && hasRankFilter,
+        s"every collect_list must aggregate a rank-bounded (<= k+1) input, got:\n$a")
+    }
     // the groups aggregate itself hides behind the lazy localCheckpoint
     // boundary (Scan ExistingRDD) in the consumer plan — pin its shape
     // directly: the SAME groupBy knnLshDeduped builds must plan the

@@ -77,13 +77,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_knn_ivf" -> 6,
     "q_knn_lsh" -> 6,
     // dedup-before-index: rep-level bucket join + group ranking window +
-    // capped expansion joins + member-level window; the BottomIds groups
-    // aggregate hides behind the lazy localCheckpoint boundary.
-    // r6 re-record 9 -> 11: bounded membership (BottomIds slice + the
-    // members hash-join) adds two exchanges, both over bare-id or
-    // group-count-sized frames — the price of bounded per-group state
-    // (VERDICT r5 item 1); the corpus-scale stages are unchanged
-    "q_knn_lsh_dedup" -> 11,
+    // rep-level candidate ranking + bounded-array expansion join; the
+    // BottomIds groups aggregate hides behind the lazy localCheckpoint
+    // boundary. r8 re-record 11 -> 10: the member-level top-k window
+    // (the measured dominant stage at sf1000 — 74 s over a 620 M-row
+    // shuffle) is gone; candidates are ranked ONCE per rep and members
+    // expand by array slice, so no member-scale exchange remains beyond
+    // the membership join itself
+    "q_knn_lsh_dedup" -> 10,
     "q_map_funcs" -> 1,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
