@@ -64,30 +64,38 @@ object SessionScaleProbe {
     // FileStreamSource replay order); each slice keeps its natural write
     // parallelism and maxFilesPerTrigger is sized to one slice per batch
     val dir = s"/tmp/graft-sessionscale-${new java.io.File(sfDir).getName}"
-    locally { val f = new java.io.File(dir)
-      if (f.exists()) { def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
-    val t = unix_micros(col("ts"))
-    val qs = ev.select(t.as("t"))
-      .stat.approxQuantile("t", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.0)
-    val preds = (Option(Long.MinValue) +: qs.map(q => Option(q.toLong)))
-      .zip(qs.map(q => Option(q.toLong)) :+ Option(Long.MaxValue))
-      .map { case (lo, hi) => t >= lit(lo.get) && t < lit(hi.get) }
-    var wrote = 0L
-    preds.zipWithIndex.foreach { case (pred, i) =>
-      val n = ev.filter(pred).count()
-      wrote += n
-      ev.filter(pred).write.mode("append").parquet(dir)
+    val existing = new java.io.File(dir).exists() &&
+      (try spark.read.parquet(dir).filter(col("user_id") >= 0).count() == nEvents
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (existing)
+      println(s"[sessionscale] reusing slices in $dir")
+    else {
+      locally { val f = new java.io.File(dir)
+        if (f.exists()) { def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
+      val t = unix_micros(col("ts"))
+      // slice cuts need no exactness (any time partition replays
+      // correctly); epsilon 0 at 1e8+ rows degenerates into an exact
+      // all-distinct sketch — 1e-3 cuts the build from >12 min to seconds
+      val qs = ev.select(t.as("t"))
+        .stat.approxQuantile("t", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001)
+      val preds = (Option(Long.MinValue) +: qs.map(q => Option(q.toLong)))
+        .zip(qs.map(q => Option(q.toLong)) :+ Option(Long.MaxValue))
+        .map { case (lo, hi) => t >= lit(lo.get) && t < lit(hi.get) }
+      preds.zipWithIndex.foreach { case (pred, i) =>
+        ev.filter(pred).write.mode("append").parquet(dir)
+      }
+      val wrote = spark.read.parquet(dir).count()
+      require(wrote == nEvents, s"slice partition lost rows: $wrote vs $nEvents")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      ev.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)))
+        .coalesce(1).write.mode("append").parquet(dir)
+      println(s"[sessionscale] sliced into $dir")
     }
-    require(wrote == nEvents, s"slice partition lost rows: $wrote vs $nEvents")
     val filesPerSlice = math.max(1,
       new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) / nSlices)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    ev.limit(1)
-      .withColumn("user_id", lit(-1L))
-      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)))
-      .coalesce(1).write.mode("append").parquet(dir)
-    println(s"[sessionscale] sliced into $dir (filesPerSlice~$filesPerSlice)")
 
     // batch fingerprint to pin the stream against (session_window agg —
     // the oracle-checked q_stream_session shape)
@@ -97,6 +105,12 @@ object SessionScaleProbe {
           col("n_events"))).as("fp"))
       .head()
     println(s"[sessionscale] batch sessions=${batchFp.getLong(0)} fp=${batchFp.getLong(1)}")
+    // the fingerprint's session shuffle is ~event-scale on this corpus
+    // (avg 1.015 events/session); nudge the ContextCleaner so its shuffle
+    // files are deleted before the stream adds its own per-batch shuffles
+    // (the first sf1000 attempt hit ENOSPC with both on disk at once)
+    System.gc()
+    Thread.sleep(3000)
 
     var streamN = 0L
     var streamFp = 0L
