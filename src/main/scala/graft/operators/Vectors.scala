@@ -278,12 +278,20 @@ object Vectors {
       .agg(array_sort(collect_list(
         struct(col("rn"), col("id_b"), col("cos_sim")))).as("cand"))
     // member expansion by ARRAY ops only: drop the self row (at most one),
-    // keep the first k. repArr joins on the same bare rep key members
-    // already carries — AQE broadcasts it in the duplication regime; in
-    // the duplicate-free regime it is a long-key shuffle join, still k+1
-    // bounded rows per key and far cheaper than the member-level window
-    // it replaces.
-    members.join(repArr, "rep")
+    // keep the first k. repArr descends from checkpointed frames, so
+    // Catalyst sees no stats and plans a shuffle join even when repArr is
+    // tiny — the same blind spot the census-gated broadcasts close in
+    // Dedup/Ntile/Percentiles. Apply the same discipline: groups is
+    // checkpointed, one cheap count decides; under the cap the ≤ k+1
+    // structs/rep frame broadcasts onto the membership rows (the
+    // duplication regime and every bench SF), past it the hint is
+    // dropped and the duplicate-free 100 TB regime keeps the bare
+    // long-key shuffle join — still k+1 bounded rows per key and far
+    // cheaper than the member-level window it replaces.
+    val nGroups = groups.count()
+    val repArrJ =
+      if (nGroups * (k + 2L) <= 2000000L) broadcast(repArr) else repArr
+    members.join(repArrJ, "rep")
       .select(col("member").as("id_a"),
         explode(slice(filter(col("cand"),
           c => c.getField("id_b") =!= col("member")), 1, k)).as("c"))
