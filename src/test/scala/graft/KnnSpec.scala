@@ -28,6 +28,21 @@ class KnnSpec extends SparkSpec {
       .take(10).toSeq
   }
 
+  test("dedup knn's expansion join carries the census-forced broadcast under the cap") {
+    // r8: the rep-array expansion join descends from checkpointed frames
+    // (no stats), so under the census cap the operator must FORCE the
+    // broadcast rather than leave a stats-blind shuffle join to chance —
+    // the same discipline as Dedup/Ntile/Percentiles. This corpus is far
+    // under the cap, so exactly one hint must be present in the returned
+    // plan.
+    val res = Vectors.knnLshDeduped(emb, k = 5)
+    val hints = res.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"expected exactly the gated expansion-join broadcast hint, got ${hints.size}")
+  }
+
   test("brute-force knn matches naive driver-side top-10 exactly") {
     val got = Vectors.knnBruteForce(emb, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
