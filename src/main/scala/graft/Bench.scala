@@ -82,7 +82,10 @@ object Bench {
       spinMs: Double, sf: String): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
       s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
-      s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":"$sf"}"""
+      s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},""" +
+      // sfDir is environment input — escape it, or a quote/backslash in
+      // the path breaks the very line that must always stay parseable
+      s""""sf":${jsonString(sf)}}"""
 
   /** Character budget for the per-query stdout line: compact line (~140)
     * + this + sbt's "[success] Total time ..." tail (~40) must fit the
@@ -302,7 +305,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
@@ -318,7 +321,7 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     // spin_ms + the spin-normalized total ride the suffix so they survive
     // the driver's tail window even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":"$sfDir"}"""
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>

@@ -287,10 +287,15 @@ object Vectors {
     // duplication regime and every bench SF), past it the hint is
     // dropped and the duplicate-free 100 TB regime keeps the bare
     // long-key shuffle join — still k+1 bounded rows per key and far
-    // cheaper than the member-level window it replaces.
+    // cheaper than the member-level window it replaces. The census makes
+    // this operator EAGER at construction (one job before the plan
+    // returns) — the same trade Ntile/Percentiles made for their gates.
+    // Cell accounting matches Percentiles' over-count posture: 4 cells
+    // per (rn, id_b, cos_sim) struct × k+1 structs/rep, so the shared
+    // 2·10⁶-cell cap admits comparable byte volume at both sites.
     val nGroups = groups.count()
     val repArrJ =
-      if (nGroups * (k + 2L) <= 2000000L) broadcast(repArr) else repArr
+      if (nGroups * 4L * (k + 1L) <= 2000000L) broadcast(repArr) else repArr
     members.join(repArrJ, "rep")
       .select(col("member").as("id_a"),
         explode(slice(filter(col("cand"),

@@ -38,6 +38,10 @@ object NtileProbe {
     // smallFloor had ALREADY drifted: ceil(2k/delta)=10000 vs the
     // operator's ceil(2k/margin)=13334)
     val delta = graft.operators.Ntile.boundaryDelta
+    // accuracy must ride along: smallFloor is DERIVED from it, and
+    // pairing the operator's smallFloor with Percentiles' independent
+    // default accuracy is a mixed shape the day either knob moves
+    val accuracy = graft.operators.Ntile.boundaryAccuracy
     val smallFloor = graft.operators.Ntile.boundarySmallFloor(k)
     val rankFor = graft.operators.Ntile.boundaryRankFor(k)
     val base = ev.select(col("event_type").as("g"),
@@ -47,7 +51,7 @@ object NtileProbe {
     timed("percentiles.exact bounds (ntile ranks)") {
       boundsDf = graft.operators.Percentiles.exact(base, col("g"), col("v"),
         targets = (1 to k - 1).map(i => (s"__bv$i", i.toDouble / k)),
-        delta = delta, smallFloor = smallFloor,
+        delta = delta, accuracy = accuracy, smallFloor = smallFloor,
         sliceCap = math.max(1000000L, smallFloor),
         discrete = true, rankFor = Some(rankFor)).localCheckpoint(true)
       boundsDf.count()
@@ -55,7 +59,7 @@ object NtileProbe {
     timed("percentiles.exact bounds (2nd call, warm)") {
       graft.operators.Percentiles.exact(base, col("g"), col("v"),
         targets = (1 to k - 1).map(i => (s"__bv$i", i.toDouble / k)),
-        delta = delta, smallFloor = smallFloor,
+        delta = delta, accuracy = accuracy, smallFloor = smallFloor,
         sliceCap = math.max(1000000L, smallFloor),
         discrete = true, rankFor = Some(rankFor)).localCheckpoint(true).count()
     }

@@ -33,6 +33,10 @@ object SessionScaleProbe {
     val sfDir = args.headOption.getOrElse("tmp/sf10")
     val provider = args.lift(1).getOrElse("heap")
     val nSlices = args.lift(2).map(_.toInt).getOrElse(8)
+    // the RESULT line folds max state over q.recentProgress, which Spark
+    // caps at ~100 entries — more slices than that would silently drop
+    // the earliest batches from the fold and under-state the bound
+    require(nSlices <= 64, s"nSlices=$nSlices would overflow recentProgress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
