@@ -219,18 +219,33 @@ object Vectors {
         element_at(col("low_ids"), 1).as("rep"), col("low_ids"))
       .localCheckpoint(false) // lazy: no job until the query executes
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    // census over the checkpointed groups frame, shared by the collision
+    // check here and the expansion-join broadcast gate below. Makes the
+    // operator eager at construction (the same trade Ntile/Percentiles
+    // made for their gates).
+    val censusRow = groups.agg(count(lit(1)), count_distinct(col("eh"))).head()
+    val (nGroups, nHashes) = (censusRow.getLong(0), censusRow.getLong(1))
     // membership as bare-id ROWS (rep, member): corpus ⋈ groups ON THE
     // HASH ALONE — a one-long join key, so neither side ever sorts or
     // hashes the array (joining on (eh, embedding) was measured 3x
     // slower at sf100: the SMJ sort walks the full vector per
-    // comparison). The embedding equality filter after the join keeps
-    // the result exact under xxhash64 collisions. In the duplication
-    // regime groups is tiny, AQE broadcasts it, and the corpus never
-    // shuffles.
-    val members = hashed
-      .join(groups.select(col("eh"), col("embedding").as("gemb"), col("rep")),
-        Seq("eh"))
-      .filter(col("embedding") === col("gemb"))
+    // comparison). Exactness under xxhash64 collisions comes from the
+    // census, not a per-row guard: when every group owns a distinct hash
+    // (nHashes == nGroups — every corpus in practice), joining on eh
+    // alone IS exact and the join goes bare-id — no 128-float equality
+    // walked per corpus row, and the build side shrinks from ~1 KB/row
+    // to 16 B/row. Only a measured collision (two different embeddings
+    // sharing an eh) keeps the embedding-equality filter. In the
+    // duplication regime groups is tiny, AQE broadcasts it, and the
+    // corpus never shuffles.
+    val members = (if (nHashes == nGroups)
+      hashed.select(col("eh"), col("vec_id"))
+        .join(groups.select(col("eh"), col("rep")), Seq("eh"))
+    else
+      hashed
+        .join(groups.select(col("eh"), col("embedding").as("gemb"), col("rep")),
+          Seq("eh"))
+        .filter(col("embedding") === col("gemb")))
       .select(col("rep"), col("vec_id").as("member"))
       .localCheckpoint(false) // bare ids: 16 B/row however duplicated
     val lowArr = groups.select(col("rep"), col("low_ids"))
@@ -287,13 +302,10 @@ object Vectors {
     // duplication regime and every bench SF), past it the hint is
     // dropped and the duplicate-free 100 TB regime keeps the bare
     // long-key shuffle join — still k+1 bounded rows per key and far
-    // cheaper than the member-level window it replaces. The census makes
-    // this operator EAGER at construction (one job before the plan
-    // returns) — the same trade Ntile/Percentiles made for their gates.
-    // Cell accounting matches Percentiles' over-count posture: 4 cells
-    // per (rn, id_b, cos_sim) struct × k+1 structs/rep, so the shared
+    // cheaper than the member-level window it replaces. Cell accounting
+    // matches Percentiles' over-count posture: 4 cells per
+    // (rn, id_b, cos_sim) struct × k+1 structs/rep, so the shared
     // 2·10⁶-cell cap admits comparable byte volume at both sites.
-    val nGroups = groups.count()
     val repArrJ =
       if (nGroups * 4L * (k + 1L) <= 2000000L) broadcast(repArr) else repArr
     members.join(repArrJ, "rep")
