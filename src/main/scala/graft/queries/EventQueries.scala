@@ -155,7 +155,12 @@ FROM ex GROUP BY ws ORDER BY window_start_us""") { (s, d) =>
 
     // B19c — session windows (10-minute gap) per user. The oracle rebuilds
     // Spark's merge semantics as gap-islands: a new session starts when the
-    // previous same-user event is >= gap earlier.
+    // previous same-user event is >= gap earlier. Boundary caveat, pinned
+    // by StreamingSpec's exact-gap case: session_window merges a pair
+    // spaced EXACTLY gap apart (touching windows coalesce) where the
+    // island rule splits it — the two agree on every driver corpus
+    // because micros-resolution event times make exact-gap pairs
+    // measure-zero.
     Q("q_stream_session",
       """WITH flagged AS (
   SELECT user_id, ts,

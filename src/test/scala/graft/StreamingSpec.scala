@@ -215,6 +215,77 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("spec_opentail").filter(col("user_id") < 0).isEmpty)
   }
 
+  test("open-tail sessionizer pins the exact-gap boundary and cross-batch island bridging") {
+    // hand-controlled micros targeting the two edges the corpus replay
+    // cannot guarantee to contain: (a) a pair spaced EXACTLY gap apart
+    // must split (batch rule: gap >= 10 min starts a new session; the
+    // handler's merge rule is start - last < gap), a pair one microsecond
+    // closer must merge; (b) an island already in state must be EXTENDED
+    // by a later micro-batch's event inside the gap (the bridging path),
+    // and emit only once, merged.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val gapUs = 600000000L // 10 minutes
+    val t0 = 1700000000000000L
+    // (user, micros): slice 1 holds events < t0+gap; slice 2 continues
+    // user 3's island inside the gap and user 1 exactly AT the gap
+    val events = Seq(
+      (1L, t0), (1L, t0 + gapUs),                   // exact gap -> 2 sessions
+      (2L, t0), (2L, t0 + gapUs - 1L),              // gap - 1us -> 1 session
+      (3L, t0 + gapUs - 2L), (3L, t0 + 2 * gapUs - 3L), // bridged across slices
+      (4L, t0 + 3 * gapUs))                         // lone late event
+    val dir = "/tmp/graft-opentail-edges"
+    locally { val f = new java.io.File(dir)
+      if (f.exists()) { def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
+    val cut = t0 + gapUs
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(events.filter(_._2 < cut))
+    write(events.filter(_._2 >= cut))
+    write(Seq((-1L, t0 + 10 * gapUs))) // sentinel flushes every tail island
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamRunner.sessionizeOpenTail(spark, stream).writeStream
+      .format("memory").queryName("spec_opentail_edges").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spec_opentail_edges").filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, t0, 1L), (1L, t0 + gapUs, 1L),           // split at exactly gap
+      (2L, t0, 2L),                                 // merged under gap
+      (3L, t0 + gapUs - 2L, 2L),                    // ONE bridged session
+      (4L, t0 + 3 * gapUs, 1L)))
+    // Spark's session_window differs at EXACTLY the boundary: it merges
+    // TOUCHING sessions (an event at last + gap extends the window),
+    // while the island rule — the handler's, sessionizeFlat's, and the
+    // DuckDB oracle's `>= gap starts a new session` — splits there. Pin
+    // the divergence so it is knowledge, not a surprise: user 1's
+    // exact-gap pair is ONE session of 2 under session_window and two
+    // sessions of 1 under the islands. On the driver's corpora the two
+    // agree everywhere (micros-resolution event times make exact-gap
+    // pairs measure-zero — every stream==batch pin in this suite holds
+    // on real data); this case exists to keep the boundary semantics of
+    // each form explicit.
+    val batchRows = StreamRunner.sessionAgg(
+        spark.read.parquet(dir).filter(col("user_id") >= 0))
+      .orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batchRows == Seq(
+      (1L, t0, 2L),                                 // session_window MERGES at gap
+      (2L, t0, 2L),
+      (3L, t0 + gapUs - 2L, 2L),
+      (4L, t0 + 3 * gapUs, 1L)))
+  }
+
   test("session window stream equals q_stream_session batch result") {
     val stream = StreamRunner.runToMemory(spark,
       StreamRunner.sessionAgg(StreamRunner.eventsStream(spark, sfDir)),
