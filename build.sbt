@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: the logger's "[info] " prefix was defeating the
+// driver's bench-tail JSON parser (every BENCH_r{3..8}.json recorded
+// "parsed": null even once the compact line fit the 2 KB window). With
+// StdoutOutput the two bench JSON lines land bare; only sbt's own
+// "[success] Total time" trailer follows them.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -125,20 +125,60 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
         .orderBy("l_returnflag")
     },
 
-    // B3d — approximate percentiles: the 100 TB path for q_percentile.
-    // Exact percentile buffers every value of a group in memory (fine at
-    // sf0.1, OOM on a 100 TB fact column); percentile_approx's KLL-style
-    // sketch is bounded-memory and mergeable. Sketch internals aren't
-    // SQL-replicable -> rows-only; ExtraSpec pins the estimates against
-    // the exact percentiles within the sketch's rank-error bound.
-    Q.noOracle("q_percentile_approx") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // B3d — approximate percentiles: the sketch is the 100 TB path
+    // (percentile_approx's KLL-style summary is bounded-memory and
+    // mergeable where exact percentile buffers a whole group). Sketch
+    // internals aren't SQL-replicable, so (r8 VERDICT item 1, same
+    // pattern as q_agg_approx_distinct): the DECLARED output carries the
+    // exact interpolated percentiles (Percentiles.exact — bitwise-equal
+    // to DuckDB quantile_cont) plus a within_accuracy flag computed
+    // GENUINELY from the sketch — the returned value's true-rank interval
+    // [count(<v)+1, count(<=v)] must intersect target_rank ± n/accuracy,
+    // which is exactly the GK/KLL guarantee. The non-replicable sketch
+    // value never enters the driver's hash, yet a broken sketch flips the
+    // flag and the hash check goes red. ExtraSpec still pins the raw
+    // estimates' error independently. Scale shape: sketch agg + one
+    // rank-count pass against the broadcast 3-row sketch frame — both
+    // map-side-combinable single shuffles; the exact machinery is the
+    // same census-gated bracketed form q_percentile already measures
+    // through four decades.
+    Q("q_percentile_approx",
+      """SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.95) AS p95,
+  TRUE AS within_accuracy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      val acc = 10000
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val sk = li.groupBy("g").agg(
+        percentile_approx(col("v"), lit(0.5), lit(acc)).as("a50"),
+        percentile_approx(col("v"), lit(0.95), lit(acc)).as("a95"),
+        count(col("v")).as("n"))
+      val ranks = li.join(broadcast(sk), "g")
+        .groupBy("g")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-            .as("p95_approx"))
+          sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+          max(col("n")).as("n"))
+      // rank tolerance n/accuracy, +1 row of slack for the target-rank
+      // definition (Spark's summary queries rank ceil(p*n); ties to p*n)
+      val tol = col("n").cast("double") / lit(acc.toDouble) + lit(1.0)
+      def within(p: Double, ltc: Column, lec: Column): Column = {
+        val target = lit(p) * col("n").cast("double")
+        (lec.cast("double") >= target - tol) &&
+          (ltc.cast("double") + lit(1.0) <= target + tol)
+      }
+      val flag = ranks.select(col("g"),
+        (within(0.5, col("lt50"), col("le50")) &&
+          within(0.95, col("lt95"), col("le95"))).as("within_accuracy"))
+      graft.operators.Percentiles.exact(
+          li, col("g"), col("v"), Seq("p50" -> 0.5, "p95" -> 0.95))
+        .join(broadcast(flag), "g")
+        .select(col("g").as("l_returnflag"), col("p50"), col("p95"),
+          col("within_accuracy"))
         .orderBy("l_returnflag")
     },
 

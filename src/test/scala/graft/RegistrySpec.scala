@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 111 queries, 101 oracle-paired, 10 rows-only") {
+  test("declared surface: 111 queries, 102 oracle-paired, 9 rows-only") {
     val all = Registry.all
     assert(all.size == 111, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 101,
+    assert(all.count(_.oracle.isDefined) == 102,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
@@ -23,9 +23,10 @@ class RegistrySpec extends AnyFunSuite {
     // in r6 (it shares coord_truncate's scalar oracle);
     // q_agg_approx_distinct in r7 (declared output = exact count + a
     // within-5% flag, so the non-replicable HLL value never enters the
-    // hash while still being checked through the flag).
+    // hash while still being checked through the flag);
+    // q_percentile_approx in r9 (same pattern — exact interpolated
+    // percentiles + a rank-interval within_accuracy flag).
     assert(rowsOnly == Set(
-      "q_percentile_approx",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
       "q_dedup_clusters_exact_first",
       "q_dedup_pipeline", "q_dedup_pipeline_exact_first",

@@ -109,7 +109,11 @@ class ShuffleBudgetSpec extends SparkSpec {
 
     "q_pack_sequences" -> 2,
     "q_percentile" -> 6, // Percentiles.exact final plan: slice agg on the data (the one data-scale shuffle) + two broadcasts + state⋈slices SMJ + pivot agg + output sort — state/slices frames are group-count-sized, not data-sized; sketch+probe passes ran eagerly at build (checkpointed)
-    "q_percentile_approx" -> 2,
+    // r9 re-record 2 -> 10: oracle-pairing (VERDICT r8 item 2) composed
+    // the exact machinery (q_percentile's 6) with the sketch aggregate
+    // (+1), its broadcast to the rank-count pass (+1), the rank-count
+    // aggregate (+1), and the flag frame's broadcast (+1)
+    "q_percentile_approx" -> 10,
     "q_pipeline_decontaminate" -> 5,
     "q_pipeline_training_prep" -> 3,
     "q_pivot" -> 3,
