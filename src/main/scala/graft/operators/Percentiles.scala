@@ -80,6 +80,25 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** Opt-in pass-timing trace (-Dgraft.percentiles.trace=true): prints
+    * each EAGER pass's wall time to stderr so scale probes can attribute
+    * cost (sketch vs probe vs subset vs per-round bisection) without
+    * duplicating the operator (VERDICT r8 item 7). Zero overhead when
+    * off; the returned plan's lazy pass-4 cost is the caller's total
+    * minus the traced passes.
+    */
+  private def traceEnabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.percentiles.trace")
+  private def traced[A](what: String)(body: => A): A =
+    if (!traceEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[percentiles-trace] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Exact continuous-interpolation percentiles, one output column per
     * target, one row per group.
     *
@@ -175,15 +194,17 @@ object Percentiles {
     //    is identical.
     val pcts = targets.flatMap { case (_, p) =>
       Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)) }
-    val br = base.groupBy(col("g")).agg(
-        count(lit(1)).as("n"),
-        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        percentile_approx(col("v"), array(pcts.map(lit): _*), lit(accuracy))
-          .as("qs"))
-      // checkpoint the (one-row-per-group) sketch result: it feeds the
-      // probe action AND the returned plan — without truncation the
-      // expensive sketch aggregation would re-execute once per consumer
-      .localCheckpoint(true)
+    val br = traced("pass1 sketch agg") {
+      base.groupBy(col("g")).agg(
+          count(lit(1)).as("n"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+          percentile_approx(col("v"), array(pcts.map(lit): _*), lit(accuracy))
+            .as("qs"))
+        // checkpoint the (one-row-per-group) sketch result: it feeds the
+        // probe action AND the returned plan — without truncation the
+        // expensive sketch aggregation would re-execute once per consumer
+        .localCheckpoint(true)
+    }
     // census-gated broadcast for every internal join below (see the
     // broadcastCells scaladoc): one cheap count over the checkpointed
     // sketch frame decides whether the O(groups × T)-cell boundary frames
@@ -267,24 +288,38 @@ object Percentiles {
     // 258 s → 11 s on a 20 M-row constant group ([[Ntile.exact]]'s forced-
     // bisection probe, MegaTieProbe2, r7)
     val collapsed = col("lo") >= col("hi")
-    var state = st0.join(probed, Seq("g", "t"))
-      .withColumn("done", collapsed)
-      .withColumn("el_lo", when(collapsed, col("lo")).cast("double"))
-      .withColumn("el_hi", when(collapsed, col("lo")).cast("double"))
-      .localCheckpoint(true)
+    var state = traced("pass2 exact-rank probe") {
+      st0.join(probed, Seq("g", "t"))
+        .withColumn("done", collapsed)
+        .withColumn("el_lo", when(collapsed, col("lo")).cast("double"))
+        .withColumn("el_hi", when(collapsed, col("lo")).cast("double"))
+        .localCheckpoint(true)
+    }
     // a bracket that failed to enclose its target ranks fails LOUDLY here
-    // rather than interpolating a wrong value downstream
-    require(state.where(col("below") >= col("rk") ||
-        col("below") + col("cnt") < col("rkhi")).limit(1).isEmpty,
-      "percentile bracket missed its target rank (sketch accuracy too low)")
+    // rather than interpolating a wrong value downstream. ONE aggregate
+    // job over the checkpointed (groups × T)-row state serves both the
+    // enclosure check and the loop-entry census (r8 VERDICT item 1's
+    // fixed-cost floor: these were two separate driver-blocking probe
+    // jobs over the same tiny in-memory frame — at toy SF the suite's
+    // floor is job round-trips, not data)
+    val enclosureViolated = col("below") >= col("rk") ||
+      col("below") + col("cnt") < col("rkhi")
 
     def active(s: DataFrame): Column =
       !col("done") && col("cnt") > lit(sliceCap)
 
+    val firstProbe = state.agg(
+        sum(when(enclosureViolated, 1L).otherwise(0L)).as("viol"),
+        sum(when(active(state), 1L).otherwise(0L)).as("act"))
+      .head()
+    require(firstProbe.getLong(0) == 0L,
+      "percentile bracket missed its target rank (sketch accuracy too low)")
+    var anyActive = firstProbe.getLong(1) > 0L
+
     // -- pass 3: bisection refinement over the materialized subset
     var subset: DataFrame = null
     var rounds = 0
-    while (!state.where(active(state)).limit(1).isEmpty) {
+    while (anyActive) {
       require(rounds < maxRounds,
         s"percentile bisection did not converge in $maxRounds rounds")
       if (subset == null) {
@@ -296,11 +331,13 @@ object Percentiles {
         // bracket into T partitions, re-serializing every round through T
         // tasks (the same concentration defect the r7 review removed from
         // [[Ntile]]'s tied slice)
-        subset = base.join(gated(st0.select(col("g"), col("t"),
-            col("lo").as("lo0"), col("hi").as("hi0"))), "g")
-          .filter(col("v").between(col("lo0"), col("hi0")))
-          .select(col("g"), col("t"), col("v"))
-          .localCheckpoint(true)
+        subset = traced("subset materialize") {
+          base.join(gated(st0.select(col("g"), col("t"),
+              col("lo").as("lo0"), col("hi").as("hi0"))), "g")
+            .filter(col("v").between(col("lo0"), col("hi0")))
+            .select(col("g"), col("t"), col("v"))
+            .localCheckpoint(true)
+        }
       }
       val act = state.where(active(state))
         .select(col("g"), col("t"), col("lo"), col("hi"),
@@ -343,11 +380,16 @@ object Percentiles {
             .as("el_lo"),
           coalesce(col("el_hi"), when(col("lo") >= col("hi"), col("lo")))
             .as("el_hi"))
-      state = state.where(!active(state))
-        .unionByName(refined)
-        .localCheckpoint(true)
+      state = traced(s"bisection round $rounds") {
+        state.where(!active(state))
+          .unionByName(refined)
+          .localCheckpoint(true)
+      }
+      anyActive = !state.where(active(state)).limit(1).isEmpty
       rounds += 1
     }
+    if (traceEnabled)
+      System.err.println(s"[percentiles-trace] bisection rounds: $rounds")
 
     // -- pass 4: collect surviving brackets (≤ cap each), look up exact
     //    ranks, interpolate; bisection-resolved targets skip the collect

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fourth decade for `q_text_tfidf` (VERDICT r8 item 4): sf1000 documents
+  * (50 M rows) on the reuse-enabled plan. Best-of-2, spin-marked, bench
+  * partition sizing; after each run the POST-AQE executed plan's
+  * Generate / ReusedExchange counts are printed so the "one tokenize
+  * pass" claim (single Generate + ReusedExchange serving the df branch)
+  * is re-verified at the scale being recorded, not assumed from sf100.
+  *
+  * Usage: SPARK_DRIVER_MEM=80g sbt "Test/runMain graft.TfidfDecadeProbe tmp/sf1000"
+  */
+object TfidfDecadeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("tmp/sf1000")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    Bench.spinMarkerMs(1000000L)
+    val spinMs = Bench.spinMarkerMs()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val initParts = {
+      val dirBytes =
+        try {
+          val root = java.nio.file.Paths.get(sfDir)
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      math.min(math.max(dirBytes / (32L << 20), cpus.toLong),
+        cpus.toLong * 32).toString
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(f"[tfidfdecade] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count() // warm
+    println(s"[tfidfdecade] documents rows: $nDocs")
+    val times = (1 to runs).map { i =>
+      val df = SparkEntry.queries("q_text_tfidf")(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      val p = df.queryExecution.executedPlan.toString
+      println(f"[tfidfdecade] run $i: $s%.1f s " +
+        "GENERATE=" + "Generate".r.findAllIn(p).size +
+        " REUSED=" + "ReusedExchange".r.findAllIn(p).size +
+        " EXCH=" + raw"(?<!Reused)Exchange".r.findAllIn(p).size)
+      System.gc()
+      s
+    }
+    println(f"[tfidfdecade] CELL sf=$sfDir docs=$nDocs best=${times.min}%.1f s " +
+      f"(runs ${times.map(t => f"$t%.1f").mkString("/")}) spin=$spinMs%.0f")
+    spark.stop()
+  }
+}
