@@ -47,16 +47,34 @@ object TfidfDecadeProbe {
     println(f"[tfidfdecade] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
     val nDocs = graft.sources.Tables.documents(spark, sfDir).count() // warm
     println(s"[tfidfdecade] documents rows: $nDocs")
+    // the write action runs its OWN QueryExecution — df.queryExecution
+    // stays the unexecuted initial plan (AQE never finalizes it), so the
+    // runtime reuse check must capture the executed plan via a listener
+    val cap = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          cap.set(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     val times = (1 to runs).map { i =>
       val df = SparkEntry.queries("q_text_tfidf")(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
-      val p = df.queryExecution.executedPlan.toString
+      Thread.sleep(2000) // listener delivery
+      val p = cap.get()
+      // executed Generates = Generate lines under live stages; the text
+      // under a ReusedExchange reprints the ORIGINAL subtree (incl. its
+      // Generate) without executing it, so count reuse nodes explicitly
       println(f"[tfidfdecade] run $i: $s%.1f s " +
-        "GENERATE=" + "Generate".r.findAllIn(p).size +
-        " REUSED=" + "ReusedExchange".r.findAllIn(p).size +
-        " EXCH=" + raw"(?<!Reused)Exchange".r.findAllIn(p).size)
+        "REUSED=" + "ReusedExchange".r.findAllIn(p).size +
+        " STAGES=" + "ShuffleQueryStage".r.findAllIn(p).size +
+        " FINAL=" + p.contains("isFinalPlan=true"))
       System.gc()
       s
     }
