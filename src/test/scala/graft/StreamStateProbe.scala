@@ -158,9 +158,15 @@ object StreamStateProbe {
         println(s"[streamstate] batch distinct keys=$keys")
         System.gc()
         val spool = s"$dir-emitted"
-        locally { val f = new java.io.File(spool)
+        // drop the spool AND its checkpoint: a leftover committed
+        // checkpoint makes the next provider's run consider all input
+        // processed and emit nothing (the first rocksdb cell failed this
+        // way — empty spool, schema-inference error)
+        for (d <- Seq(spool, s"$spool-ckpt")) {
+          val f = new java.io.File(d)
           if (f.exists()) { def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) }
+        }
         val t0 = System.nanoTime()
         val q = graft.streaming.StreamRunner.dedupWithinWatermark(stream)
           .filter(col("user_id") >= 0)
