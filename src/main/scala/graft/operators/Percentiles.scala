@@ -99,6 +99,20 @@ object Percentiles {
       r
     }
 
+  /** TRUE iff a value's true-rank interval [lt+1, le] intersects
+    * [target − tol, target + tol] — the GK/KLL sketch guarantee expressed
+    * over exact rank counts (lt = values strictly below, le = values at
+    * or below; a tied value occupies the whole [lt+1, le] rank run).
+    * `q_percentile_approx`'s within_accuracy flag is this predicate with
+    * target = p·n and tol = n/accuracy + 1; ExtraSpec pins its negative
+    * arms (an interval strictly left or right of the tolerance window
+    * must flip the flag) so a broken sketch cannot pass unnoticed.
+    */
+  def rankIntervalWithin(lt: Column, le: Column,
+      target: Column, tol: Column): Column =
+    (le.cast("double") >= target - tol) &&
+      (lt.cast("double") + lit(1.0) <= target + tol)
+
   /** Exact continuous-interpolation percentiles, one output column per
     * target, one row per group.
     *

@@ -166,11 +166,9 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       // rank tolerance n/accuracy, +1 row of slack for the target-rank
       // definition (Spark's summary queries rank ceil(p*n); ties to p*n)
       val tol = col("n").cast("double") / lit(acc.toDouble) + lit(1.0)
-      def within(p: Double, ltc: Column, lec: Column): Column = {
-        val target = lit(p) * col("n").cast("double")
-        (lec.cast("double") >= target - tol) &&
-          (ltc.cast("double") + lit(1.0) <= target + tol)
-      }
+      def within(p: Double, ltc: Column, lec: Column): Column =
+        graft.operators.Percentiles.rankIntervalWithin(
+          ltc, lec, lit(p) * col("n").cast("double"), tol)
       val flag = ranks.select(col("g"),
         (within(0.5, col("lt50"), col("le50")) &&
           within(0.95, col("lt95"), col("le95"))).as("within_accuracy"))

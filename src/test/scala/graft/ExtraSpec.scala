@@ -73,6 +73,31 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("rankIntervalWithin flips FALSE for a sketch outside its rank bound") {
+    import spark.implicits._
+    // (lt, le, target, tol, expected): the flag must be an honest check,
+    // not a tautology — intervals strictly left/right of target±tol fail;
+    // touching or straddling ones pass (incl. a tie run covering the
+    // whole window and the exact-boundary cases)
+    val cases = Seq(
+      (10L, 20L, 15.0, 2.0, true),   // target inside the interval
+      (10L, 20L, 25.0, 5.0, true),   // interval's top touches target-tol
+      (10L, 20L, 26.1, 5.0, false),  // strictly left of the window
+      (10L, 20L, 6.0, 5.0, true),    // interval's bottom (11) touches target+tol
+      (10L, 20L, 4.0, 5.0, false),   // strictly right of the window
+      (0L, 1000000L, 17.0, 0.0, true), // mega tie run covers everything
+      (500L, 500L, 499.0, 1.0, false)  // empty interval (lt==le): no rank
+    )
+    val got = cases.toDF("lt", "le", "target", "tol", "expected")
+      .withColumn("flag", graft.operators.Percentiles.rankIntervalWithin(
+        col("lt"), col("le"), col("target"), col("tol")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("flag") == r.getAs[Boolean]("expected"),
+        s"case $r")
+    }
+  }
+
   test("Percentiles.exact bisection survives an adversarial single group (tiny cap forces refinement)") {
     import spark.implicits._
     // one group, heavy tie mass at one value plus a spread tail: the
