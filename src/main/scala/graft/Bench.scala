@@ -69,6 +69,24 @@ object Bench {
   private def fmt(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Data-sized AQE starting partition count: one shuffle partition per
+    * ~32 MB of on-disk source bytes, floored at the core count, capped at
+    * 32× cores (rationale at the use site in [[main]]). Shared with the
+    * decade probes (r9 review: the recipe had been copy-pasted four
+    * times — a change to the divisor or cap must land everywhere at once).
+    */
+  private[graft] def dataSizedInitParts(sfDir: String, cpus: Long): Long = {
+    val dirBytes =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.min(math.max(dirBytes / (32L << 20), cpus), cpus * 32)
+  }
+
   /** Ultra-compact whole-run record (VERDICT r7 item 6): total, query
     * count, retry count, spin marker, normalized total — ~120 chars, no
     * per-query entries. Printed FIRST so the driver's 2 KB stdout tail
@@ -120,18 +138,8 @@ object Bench {
     // driver config bit-identical to the recorded baseline posture while
     // still scaling the start count two decades up.) On a real cluster
     // the same derivation holds with executor count in place of cores.
-    val initParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT", {
-      val dirBytes =
-        try {
-          val root = java.nio.file.Paths.get(sfDir)
-          val s = java.nio.file.Files.walk(root)
-          try s.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally s.close()
-        } catch { case _: Throwable => 0L }
-      val bySize = dirBytes / (32L << 20)
-      math.min(math.max(bySize, cpus.toLong), cpus.toLong * 32).toString
-    })
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT",
+      dataSizedInitParts(sfDir, cpus.toLong).toString)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -322,9 +322,14 @@ object Percentiles {
     def active(s: DataFrame): Column =
       !col("done") && col("cnt") > lit(sliceCap)
 
+    // count(when(...)) not sum(when(...)): on an EMPTY state frame (empty
+    // input / all-NULL value column) sum() returns NULL and getLong would
+    // NPE, where the pre-fusion limit(1).isEmpty probes passed vacuously —
+    // count() returns 0 on empty input and the machinery falls through to
+    // an empty result as before
     val firstProbe = state.agg(
-        sum(when(enclosureViolated, 1L).otherwise(0L)).as("viol"),
-        sum(when(active(state), 1L).otherwise(0L)).as("act"))
+        count(when(enclosureViolated, 1)).as("viol"),
+        count(when(active(state), 1)).as("act"))
       .head()
     require(firstProbe.getLong(0) == 0L,
       "percentile bracket missed its target rank (sketch accuracy too low)")

@@ -73,6 +73,19 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("Percentiles.exact returns empty output on empty / all-NULL input") {
+    import spark.implicits._
+    // the r9 probe fusion regressed this once (sum() over the empty state
+    // frame is NULL; the review caught the getLong NPE) — pin both arms
+    val empty = Seq.empty[(String, java.lang.Double)].toDF("grp", "v")
+    assert(graft.operators.Percentiles.exact(
+      empty, col("grp"), col("v"), Seq("p50" -> 0.5)).isEmpty)
+    val allNull = Seq(("a", null: java.lang.Double), ("b", null: java.lang.Double))
+      .toDF("grp", "v")
+    assert(graft.operators.Percentiles.exact(
+      allNull, col("grp"), col("v"), Seq("p50" -> 0.5)).isEmpty)
+  }
+
   test("rankIntervalWithin flips FALSE for a sketch outside its rank bound") {
     import spark.implicits._
     // (lt, le, target, tol, expected): the flag must be an honest check,

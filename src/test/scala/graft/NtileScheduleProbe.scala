@@ -36,18 +36,7 @@ object NtileScheduleProbe {
     Bench.spinMarkerMs(1000000L)
     val spinMs = Bench.spinMarkerMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val initParts = {
-      val dirBytes =
-        try {
-          val root = java.nio.file.Paths.get(sfDir)
-          val s = java.nio.file.Files.walk(root)
-          try s.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally s.close()
-        } catch { case scala.util.control.NonFatal(_) => 0L }
-      math.min(math.max(dirBytes / (32L << 20), cpus.toLong),
-        cpus.toLong * 32).toString
-    }
+    val initParts = Bench.dataSizedInitParts(sfDir, cpus.toLong).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -63,43 +63,13 @@ object SessionScaleProbe {
         .toSeq.map(_.asInstanceOf[Long])
     println(s"[sessionscale] events=$nEvents distinct_users=$nUsers")
 
-    // time-ordered slice files: quantile-cut ts ranges written
-    // sequentially, so file mod-time order == event-time order (the
-    // FileStreamSource replay order); each slice keeps its natural write
-    // parallelism and maxFilesPerTrigger is sized to one slice per batch
+    // time-ordered slice files via the shared TimeSlices protocol (r9:
+    // the builder was extracted so protocol fixes land in every probe);
+    // each slice keeps its natural write parallelism and
+    // maxFilesPerTrigger is sized to one slice per batch
     val dir = s"/tmp/graft-sessionscale-${new java.io.File(sfDir).getName}"
-    val existing = new java.io.File(dir).exists() &&
-      (try spark.read.parquet(dir).filter(col("user_id") >= 0).count() == nEvents
-       catch { case scala.util.control.NonFatal(_) => false })
-    if (existing)
-      println(s"[sessionscale] reusing slices in $dir")
-    else {
-      locally { val f = new java.io.File(dir)
-        if (f.exists()) { def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
-      val t = unix_micros(col("ts"))
-      // slice cuts need no exactness (any time partition replays
-      // correctly); epsilon 0 at 1e8+ rows degenerates into an exact
-      // all-distinct sketch — 1e-3 cuts the build from >12 min to seconds
-      val qs = ev.select(t.as("t"))
-        .stat.approxQuantile("t", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001)
-      val preds = (Option(Long.MinValue) +: qs.map(q => Option(q.toLong)))
-        .zip(qs.map(q => Option(q.toLong)) :+ Option(Long.MaxValue))
-        .map { case (lo, hi) => t >= lit(lo.get) && t < lit(hi.get) }
-      preds.zipWithIndex.foreach { case (pred, i) =>
-        ev.filter(pred).write.mode("append").parquet(dir)
-      }
-      val wrote = spark.read.parquet(dir).count()
-      require(wrote == nEvents, s"slice partition lost rows: $wrote vs $nEvents")
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      ev.limit(1)
-        .withColumn("user_id", lit(-1L))
-        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)))
-        .coalesce(1).write.mode("append").parquet(dir)
-      println(s"[sessionscale] sliced into $dir")
-    }
-    val filesPerSlice = math.max(1,
-      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) / nSlices)
+    val filesPerSlice =
+      TimeSlices.ensure(spark, ev, nEvents, dir, nSlices, "sessionscale")
 
     // batch fingerprint to pin the stream against (session_window agg —
     // the oracle-checked q_stream_session shape)

@@ -73,42 +73,11 @@ object StreamStateProbe {
         .toSeq.map(_.asInstanceOf[Long])
     println(s"[streamstate] events=$nEvents distinct_users=$nUsers")
 
-    // time-ordered slice files (the SessionScaleProbe layout, plus the
+    // time-ordered slice files (the shared TimeSlices protocol, plus the
     // event_id/event_type columns these operators key on)
     val dir = s"/tmp/graft-streamstate-${new java.io.File(sfDir).getName}"
-    val existing = new java.io.File(dir).exists() &&
-      (try spark.read.parquet(dir).filter(col("user_id") >= 0).count() == nEvents
-       catch { case scala.util.control.NonFatal(_) => false })
-    if (existing)
-      println(s"[streamstate] reusing slices in $dir")
-    else {
-      locally { val f = new java.io.File(dir)
-        if (f.exists()) { def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) } }
-      val t = unix_micros(col("ts"))
-      val qs = ev.select(t.as("t"))
-        .stat.approxQuantile("t", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001)
-      val preds = (Option(Long.MinValue) +: qs.map(q => Option(q.toLong)))
-        .zip(qs.map(q => Option(q.toLong)) :+ Option(Long.MaxValue))
-        .map { case (lo, hi) => t >= lit(lo.get) && t < lit(hi.get) }
-      preds.foreach { pred =>
-        ev.filter(pred).write.mode("append").parquet(dir)
-      }
-      val wrote = spark.read.parquet(dir).count()
-      require(wrote == nEvents, s"slice partition lost rows: $wrote vs $nEvents")
-      // far-future sentinel: advances the watermark past every real row so
-      // the final batch's eviction metrics show the steady-state drain
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      ev.limit(1)
-        .withColumn("event_id", lit(-1L))
-        .withColumn("user_id", lit(-1L))
-        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)))
-        .coalesce(1).write.mode("append").parquet(dir)
-      println(s"[streamstate] sliced into $dir")
-      System.gc() // let the ContextCleaner drop the slice job's shuffles
-    }
-    val filesPerSlice = math.max(1,
-      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) / nSlices)
+    val filesPerSlice =
+      TimeSlices.ensure(spark, ev, nEvents, dir, nSlices, "streamstate")
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", filesPerSlice.toString)
@@ -120,10 +89,14 @@ object StreamStateProbe {
         val batchR = graft.streaming.StreamRunner.purchaseAfterErrorJoin(ev)
           .agg(count(lit(1)).as("n"),
             bit_xor(xxhash64(col("err_id"), col("pur_id"))).as("fp")).head()
+        val batchN = batchR.getLong(0)
+        // bit_xor over zero pairs is NULL (r9 review) — fold to 0, the
+        // same identity the stream side's isNullAt guard uses
+        val batchFp = if (batchR.isNullAt(1)) 0L else batchR.getLong(1)
         val joinInputs = ev.filter(
           col("event_type").isin("error", "purchase")).count()
-        println(s"[streamstate] batch pairs=${batchR.getLong(0)} " +
-          s"fp=${batchR.getLong(1)} joinInputRows=$joinInputs")
+        println(s"[streamstate] batch pairs=$batchN " +
+          s"fp=$batchFp joinInputRows=$joinInputs")
         System.gc()
         var streamN = 0L; var streamFp = 0L
         val t0 = System.nanoTime()
@@ -150,8 +123,8 @@ object StreamStateProbe {
         println(f"[streamstate] RESULT mode=join provider=$provider wall=$wall%.1f s " +
           s"batches=${prog.map(_.batchId).distinct.length} events=$nEvents " +
           s"joinInputRows=$joinInputs maxStateRows=$maxState " +
-          s"streamPairs=$streamN batchPairs=${batchR.getLong(0)} " +
-          s"fpMatch=${streamFp == batchR.getLong(1) && streamN == batchR.getLong(0)}")
+          s"streamPairs=$streamN batchPairs=$batchN " +
+          s"fpMatch=${streamFp == batchFp && streamN == batchN}")
 
       case "dedup" =>
         val keys = ev.select("user_id", "event_type").distinct().count()
@@ -162,11 +135,7 @@ object StreamStateProbe {
         // checkpoint makes the next provider's run consider all input
         // processed and emit nothing (the first rocksdb cell failed this
         // way — empty spool, schema-inference error)
-        for (d <- Seq(spool, s"$spool-ckpt")) {
-          val f = new java.io.File(d)
-          if (f.exists()) { def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete() }; rm(f) }
-        }
+        Seq(spool, s"$spool-ckpt").foreach(TimeSlices.rmTree)
         val t0 = System.nanoTime()
         val q = graft.streaming.StreamRunner.dedupWithinWatermark(stream)
           .filter(col("user_id") >= 0)
