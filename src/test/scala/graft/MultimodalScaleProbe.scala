@@ -40,7 +40,10 @@ object MultimodalScaleProbe {
     val spin = Bench.spinMarkerMs()
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val nDocs = docs.count() // also warms the parquet footers/page cache
-    val totalChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    // coalesce: sum() over an empty table returns NULL and getLong NPEs
+    // (ADVICE r9 — same empty-input pattern fixed in Percentiles r9)
+    val totalChars =
+      docs.agg(coalesce(sum(length(col("text"))), lit(0L))).head().getLong(0)
     println(f"[mmscale] sfDir=$sfDir docs=$nDocs chars=$totalChars spin=$spin%.0f ms")
 
     def cell(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {

@@ -39,7 +39,7 @@ object TfidfDecadeProbe {
     // the write action runs its OWN QueryExecution — df.queryExecution
     // stays the unexecuted initial plan (AQE never finalizes it), so the
     // runtime reuse check must capture the executed plan via a listener
-    val cap = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val cap = new java.util.concurrent.atomic.AtomicReference[String](null)
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -52,11 +52,19 @@ object TfidfDecadeProbe {
       })
     val times = (1 to runs).map { i =>
       val df = SparkEntry.queries("q_text_tfidf")(spark, sfDir)
+      // latch, not a fixed sleep (ADVICE r9): the listener bus is async,
+      // and under load a 2 s sleep could capture a STALE plan (e.g. the
+      // warm-up count's) — clear before the write, spin until the write's
+      // own onSuccess lands (bounded; a timeout prints an empty plan
+      // rather than silently attributing the wrong execution)
+      cap.set(null)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(2000) // listener delivery
-      val p = cap.get()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (cap.get() == null && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val p = Option(cap.get()).getOrElse("<listener capture timed out>")
       // executed Generates = Generate lines under live stages; the text
       // under a ReusedExchange reprints the ORIGINAL subtree (incl. its
       // Generate) without executing it, so count reuse nodes explicitly

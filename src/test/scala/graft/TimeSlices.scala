@@ -30,11 +30,25 @@ object TimeSlices {
     }
   }
 
-  /** @return files per micro-batch (total part files / nSlices). */
+  /** @param sentinelKey the LongType column the reuse check filters with
+    *   `>= 0` to exclude the sentinel row (ADVICE r9: this was a
+    *   hard-coded `user_id` — an implicit contract a caller without that
+    *   column would fail on). NOTE the sentinel row sets EVERY LongType
+    *   column (not just this one) to −1, so no keyed Long column can
+    *   collide with real data; a caller whose Long columns legitimately
+    *   hold −1 must not use this protocol.
+    * @return files per micro-batch, ceiling-divided so the replay takes at
+    *   most nSlices micro-batches (ADVICE r9: floor division could reach
+    *   ~2× nSlices batches when part files don't divide evenly, silently
+    *   truncating recentProgress's ~100-entry state fold). */
   def ensure(spark: SparkSession, ev: DataFrame, nEvents: Long,
-      dir: String, nSlices: Int, tag: String): Int = {
+      dir: String, nSlices: Int, tag: String,
+      sentinelKey: String = "user_id"): Int = {
+    require(ev.schema.fields.exists(f =>
+        f.name == sentinelKey && f.dataType == LongType),
+      s"sentinelKey=$sentinelKey must be a LongType column of ev")
     val existing = new java.io.File(dir).exists() &&
-      (try spark.read.parquet(dir).filter(col("user_id") >= 0).count() == nEvents
+      (try spark.read.parquet(dir).filter(col(sentinelKey) >= 0).count() == nEvents
        catch { case scala.util.control.NonFatal(_) => false })
     if (existing)
       println(s"[$tag] reusing slices in $dir")
@@ -77,6 +91,7 @@ object TimeSlices {
         s"divisible by $nSlices slices — batch boundaries may drift off " +
         "slice boundaries; a failed correctness pin may be replay " +
         "lateness, not the operator")
-    math.max(1, nFiles / nSlices)
+    // ceiling division: batches = ceil(nFiles / filesPerTrigger) ≤ nSlices
+    math.max(1, (nFiles + nSlices - 1) / nSlices)
   }
 }
