@@ -324,7 +324,12 @@ object Dedup {
     //    round and tested with a narrow limit-1 scan of the round's own
     //    just-materialized checkpoint — the exceptAll comparison launched
     //    an extra full two-sided shuffle job every round.
-    val edgesCk = edges.repartition(col("dst")).localCheckpoint(true)
+    // LAZY checkpoint (r9 VERDICT item 1, toy-SF job floor): the route
+    // census count() below — or, when the census is skipped, the first
+    // full-scan consumer (the driver collect / the labels-init distinct)
+    // — materializes it in the SAME driver round-trip that an eager
+    // checkpoint would have spent on its own dedicated job
+    val edgesCk = edges.repartition(col("dst")).localCheckpoint(false)
 
     val longIds = Seq("src", "dst").forall(c =>
       edgesCk.schema(c).dataType == org.apache.spark.sql.types.LongType)
@@ -451,7 +456,9 @@ object Dedup {
       .filter(!degenerate)
       .groupBy(col("text")).agg(min(col("id")).as("id"))
       .select(col("id"), col("text"))
-      .localCheckpoint(true)
+      // LAZY: the first full-scan action inside [[survivors]] (the edge
+      // census of [[clusters]]) materializes it — no dedicated job
+      .localCheckpoint(false)
     // Checkpointed BEFORE the census count (r7 ADVICE): keepIds is read
     // twice — once by the gate's count() and once by the keep-join when
     // the returned plan runs — and without materialization the
@@ -459,7 +466,8 @@ object Dedup {
     // cap's own argument (one bare long per surviving distinct text), so
     // materializing it eagerly costs what the count alone already did.
     val keepIds = survivors(reps, threshold).select(col("id"))
-      .localCheckpoint(true)
+      // LAZY: the broadcast-gate count() below materializes it
+      .localCheckpoint(false)
     // Census-gated broadcast of the keep side (same discipline as
     // [[clustersExactFirst]]'s expansion join, and for the same reason:
     // keepIds descends from CHECKPOINTED frames whose stats Catalyst
@@ -527,7 +535,9 @@ object Dedup {
     // construction on a duplicated corpus), so materializing it is cheap.
     val groups = nonDegenerate.groupBy(col("text"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
-      .localCheckpoint(true)
+      // LAZY: materialized by [[clusters]]' edge census ([[minhashPairs]]
+      // scans it inside that plan) — no dedicated job
+      .localCheckpoint(false)
     // `driverCap` passes through to [[clusters]]' route choice so probes
     // (CefProbe) can A/B the CC routes on the REAL operator instead of a
     // drift-prone inlined copy of this body
@@ -545,7 +555,8 @@ object Dedup {
       .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
       .select(col("text"),
         coalesce(col("rep_cluster"), col("rep")).as("cluster"))
-      .localCheckpoint(true)
+      // LAZY: the broadcast-gate count() below materializes it
+      .localCheckpoint(false)
     // Census-gated broadcast of the expansion side. `labeled` descends
     // from checkpointed frames, so Catalyst sees no stats and plans the
     // text join as a sort-merge — shuffling AND sorting the whole corpus

@@ -289,8 +289,12 @@ FROM bins LEFT JOIN c USING (bin) ORDER BY bin_start_us""") { (s, d) =>
       // table a second time. The counts table is bounded by the TIME
       // RANGE (one row per observed minute), so materializing it for its
       // two consumers (spine + join) is cheap and the corpus is read once.
+      // LAZY (r10): both consumers (spine + join) run inside the ONE
+      // final query execution, whose first task to touch a partition
+      // materializes it — an eager checkpoint here paid a dedicated
+      // driver-blocking job at build time for nothing
       val counts = ev.groupBy("bin").agg(count(lit(1)).as("n_events"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val bins = counts.agg(min(col("bin")).as("mn"), max(col("bin")).as("mx"))
         .select(explode(sequence(col("mn"), col("mx"))).as("bin"))
       bins.join(counts, Seq("bin"), "left")

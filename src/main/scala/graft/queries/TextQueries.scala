@@ -364,8 +364,11 @@ ORDER BY d.doc_id""") { (s, d) =>
       // null-lang group, so the two subplans canonicalize differently and
       // exchange reuse cannot serve them — without materialization the
       // corpus is scanned once per branch. The aggregate is |langs| rows.
+      // checkpoint LAZY (r10): both consumers run inside the one final
+      // query execution (first task materializes, the other reads cache)
+      // — the eager form paid a dedicated build-time job
       val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val m = c.agg(min(col("cnt")).as("mn"))
       docs.join(broadcast(c), "lang")
         .crossJoin(broadcast(m))
