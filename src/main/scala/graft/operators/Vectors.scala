@@ -58,6 +58,55 @@ object Vectors {
       .limit(k)
   }
 
+  /** Exact top-k for EVERY probe row matching `probeFilter`, one plan:
+    * the probe set broadcasts (it must be bounded — a recall-audit
+    * sample, not the corpus), the corpus scans ONCE, and the per-probe
+    * top-k is [[topK]]'s window — identical tie order to every other
+    * ranking here. This is the ground-truth side of the r10 recall
+    * flags: |probes| × corpus cosines is linear in the corpus for a
+    * fixed sample, where true all-pairs would be quadratic.
+    */
+  def knnBruteForceBatch(emb: DataFrame, probeFilter: Column, k: Int,
+      probeLimit: Int = 1024): DataFrame = {
+    // the limit enforces the bounded-probe contract IN THE PLAN (and is
+    // the shape PlanAuditSpec's broadcast audit recognizes as bounded —
+    // a bare range filter over a fact table is not provably small)
+    val probes = emb.filter(probeFilter).limit(probeLimit)
+      .select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+    val cands = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .join(broadcast(probes), col("id_b") =!= col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_b"), col("q_emb")).as("cos_sim"))
+    topK(cands, k)
+  }
+
+  /** Appends boolean column `name` = (|approx ∩ exact| ≥ bound ×
+    * |exact|) to `exact` — the genuinely-computed recall@k flag the r10
+    * oracle-paired kNN queries declare (VERDICT r9 item 3): the declared
+    * rows are the EXACT top-k (bitwise oracle-matched), bucket/cell
+    * internals never enter the driver's hash, yet a broken index flips
+    * this flag and the hash check goes red. Computed as a GLOBAL WINDOW
+    * aggregate over the joined frame, so the exact subplan executes
+    * exactly once (a separate flag aggregate + crossJoin re-executed the
+    * whole exact pass — measured 16–17 Exchanges vs 10–11 for this
+    * shape); the single-partition window is safe because the frame is a
+    * bounded probe sample (≤ probes × k rows), never the corpus. Both
+    * inputs must be unique per (id_a, id_b) — true of every top-k output
+    * here. KnnSpec pins the negative arm (a zero-overlap approx side
+    * must yield FALSE).
+    */
+  def withRecallFlag(exact: DataFrame, approx: DataFrame, bound: Double,
+      name: String): DataFrame = {
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exact
+      .join(approx.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+        Seq("id_a", "id_b"), "left")
+      .withColumn(name, count(col("__hit")).over(w) >=
+        count(lit(1)).over(w).cast("double") * lit(bound))
+      .drop("__hit")
+  }
+
   /** All table buckets per vector — native codegen'd expression
     * ([[graft.functions.VectorExprs.LshBuckets]]).
     */
@@ -323,6 +372,44 @@ object Vectors {
     * Centroids are computed with exact DECIMAL sums so they are
     * order-independent (a float running mean would not be).
     */
+  /** Batched IVF: one plan probing, for EVERY probe row matching
+    * `probeFilter`, its `nprobe` nearest cells and searching only those
+    * cells — the scale shape of [[knnIvf]] (real IVF serving is batched;
+    * one plan per query would pay the centroid pass per probe). Probe
+    * rows and the (tiny) centroid table broadcast; the corpus scans once
+    * and only rows in SOME probed cell enter the per-probe window, so
+    * the window input is Σ probed-cell sizes, never |probes| × corpus.
+    * Cell ranking and candidate ranking use the same tie orders as
+    * [[knnIvf]] (cs desc, label / cos_sim desc, id) — KnnSpec pins the
+    * single-probe slice of this batch bitwise-equal to [[knnIvf]].
+    */
+  def knnIvfBatch(emb: DataFrame, probeFilter: Column, k: Int,
+      nprobe: Int = 1, probeLimit: Int = 1024): DataFrame = {
+    val dims = emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("decimal(28,10)").as("v"))
+    val centroids = dims.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v")) / count(lit(1))).cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+    val probes = emb.filter(probeFilter).limit(probeLimit)
+      .select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+    val wc = Window.partitionBy(col("id_a"))
+      .orderBy(col("cs").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("id_a"), col("q_emb"), col("label").as("cell"),
+        cosineGeneric(col("centroid"), col("q_emb")).as("cs"))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .select(col("id_a"), col("q_emb"), col("cell"))
+    val cands = emb
+      .select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .join(broadcast(probeCells), col("label") === col("cell"))
+      .filter(col("id_b") =!= col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_b"), col("q_emb")).as("cos_sim"))
+    topK(cands, k)
+  }
+
   def knnIvf(emb: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
     // label rides through the explode — a join back to emb on vec_id just
     // to fetch it re-scanned the table and shuffled the exploded dims

@@ -47,14 +47,37 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
     },
 
     // B21b — LSH-bucketed approximate neighbors (bucket equi-join, never
-    // all-pairs). xxhash64 hyperplanes aren't SQL-replicable -> rows-only
-    // check; KnnSpec pins recall vs brute force. RECALL BASELINE, not the
-    // default entry point: q_knn_lsh_dedup below is bitwise
-    // result-identical and survives duplicate-heavy corpora, where this
-    // plain form's in-bucket pair counts grow quadratically in the
-    // duplication factor (see [[graft.operators.Vectors.knnLsh]]).
-    Q.noOracle("q_knn_lsh") { (s, d) =>
-      Vectors.knnLsh(Tables.embeddings(s, d), k = 5)
+    // all-pairs). ORACLE-PAIRED since r10 (VERDICT r9 item 3, the
+    // exact-plus-genuine-flag pattern): xxhash64 hyperplane buckets
+    // aren't SQL-replicable, so the DECLARED rows are the exact
+    // brute-force top-5 for a bounded 32-probe sample (bitwise equal to
+    // DuckDB — same fold as q_knn_cosine) plus lsh_recall_ok, computed
+    // GENUINELY as recall@5 of the REAL knnLsh output over those probes
+    // (bound 0.15; measured 0.325/0.394/0.488 at sf0.001/0.01/0.1 —
+    // KnnRecallProbe r10 — so the flag is ~5 sigma above the bound on
+    // 160 truth rows, yet a broken index flips it and the hash goes
+    // red). Bucket internals never enter the hash; KnnSpec keeps the
+    // raw-candidate and recall-floor pins on the operator itself.
+    // Scale shape: the sample's exact side is |probes| x corpus (linear,
+    // broadcast probes), the LSH side is the production bucket join with
+    // the probe filter pushed below its window.
+    Q("q_knn_lsh",
+      s"""WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${duckDot("a.embedding", "b.embedding")}
+    / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 32),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b) AS rn
+  FROM pairs)
+SELECT id_a, id_b, cos_sim, TRUE AS lsh_recall_ok
+FROM ranked WHERE rn <= 5 ORDER BY id_a, id_b""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 5)
+      val lsh = Vectors.knnLsh(emb, k = 5).filter(col("id_a") < 32)
+      Vectors.withRecallFlag(exact, lsh, 0.15, "lsh_recall_ok")
         .orderBy("id_a", "id_b")
     },
 
@@ -71,9 +94,34 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10""") { (s, d) =>
     },
 
     // B21c — IVF-style cell-probed search (label column as the coarse
-    // quantizer cell; exact-decimal centroids). Oracle-free: spec-pinned.
-    Q.noOracle("q_knn_ivf") { (s, d) =>
-      Vectors.knnIvf(Tables.embeddings(s, d), queryId = 0L, k = 10)
+    // quantizer cell; exact-decimal centroids), BATCHED over the same
+    // 32-probe sample and ORACLE-PAIRED since r10 (same pattern as
+    // q_knn_lsh above): declared rows = exact brute-force top-10 per
+    // probe, plus ivf_recall_ok computed genuinely as recall@10 of the
+    // real knnIvfBatch(nprobe=2) output. Bound 0.12 vs measured
+    // 0.278/0.278/0.250 at sf0.001/0.01/0.1 over 320 truth rows
+    // (KnnRecallProbe r10; the structural floor is nprobe/cells = 0.2 on
+    // label-uncorrelated data) — >5 sigma of margin, and a broken
+    // quantizer or cell join flips the flag. KnnSpec pins the batch's
+    // single-probe slice bitwise-equal to the original knnIvf.
+    Q("q_knn_ivf",
+      s"""WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${duckDot("a.embedding", "b.embedding")}
+    / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 32),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b) AS rn
+  FROM pairs)
+SELECT id_a, id_b, cos_sim, TRUE AS ivf_recall_ok
+FROM ranked WHERE rn <= 10 ORDER BY id_a, id_b""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 10)
+      val ivf = Vectors.knnIvfBatch(emb, col("vec_id") < 32, k = 10, nprobe = 2)
+      Vectors.withRecallFlag(exact, ivf, 0.12, "ivf_recall_ok")
+        .orderBy("id_a", "id_b")
     },
 
     // B23a — multimodal join: text modality + vector modality in one row.

@@ -52,6 +52,49 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("batched brute force: probe-0 slice is bitwise-equal to the single form") {
+    // the r10 oracle-paired queries declare this batch's rows — its
+    // per-probe slice must be EXACTLY knnBruteForce (same fold, same tie
+    // order), or the declared oracle rows drift from q_knn_cosine's
+    val single = Vectors.knnBruteForce(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val slice = Vectors.knnBruteForceBatch(emb, col("vec_id") < 1, k = 10)
+      .orderBy(col("cos_sim").desc, col("id_b"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(slice == single)
+  }
+
+  test("batched ivf: probe-0 slice is bitwise-equal to the single form") {
+    val single = Vectors.knnIvf(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val slice = Vectors.knnIvfBatch(emb, col("vec_id") < 1, k = 10)
+      .orderBy(col("cos_sim").desc, col("id_b"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(slice == single)
+  }
+
+  test("recall flag: genuine positive and negative arms") {
+    // positive: the registered queries' actual shapes cross their bounds
+    // with margin (measured 0.325+/0.250+ vs bounds 0.15/0.12 —
+    // KnnRecallProbe r10); negative: a zero-overlap approx side MUST flip
+    // the flag false — a broken index cannot pass unnoticed through the
+    // driver's hash check
+    def flag(exact: org.apache.spark.sql.DataFrame,
+        approx: org.apache.spark.sql.DataFrame, bound: Double): Boolean =
+      Vectors.withRecallFlag(exact, approx, bound, "f")
+        .select("f").head().getBoolean(0)
+    val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 5)
+    val lsh = Vectors.knnLsh(emb, k = 5).filter(col("id_a") < 32)
+    assert(flag(exact, lsh, 0.15))
+    val ivf = Vectors.knnIvfBatch(emb, col("vec_id") < 32, k = 10, nprobe = 2)
+    val exact10 = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 10)
+    assert(flag(exact10, ivf, 0.12))
+    val disjoint = exact.select((col("id_a") + 1000000L).as("id_a"), col("id_b"))
+    assert(!flag(exact, disjoint, 0.15))
+    // an approx side that IS the truth passes even at bound 1.0
+    assert(flag(exact, exact, 1.0))
+  }
+
   test("lsh knn: same-bucket neighbors rank identically to exact cosine") {
     // for each returned (id_a, id_b) the cosine must equal the exact value
     val got = Vectors.knnLsh(emb, k = 5).collect()

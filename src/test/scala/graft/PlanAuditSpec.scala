@@ -10,11 +10,15 @@ import graft.queries.Registry
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
-    * a crossJoin against a broadcast single-row frame (the query vector /
-    * best IVF cell). Bounded work: |corpus| x 1.
+    * a crossJoin against a broadcast frame that is BOUNDED by
+    * construction — a single row (query vector, global count) or a
+    * limit-capped probe sample (r10: the oracle-paired kNN queries
+    * broadcast a ≤32-row probe sample and the |cells|-row centroid
+    * table). Bounded work: |corpus| x O(1).
     */
   private val singleRowBroadcastOk =
     Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding",
+      "q_knn_lsh",        // limit-capped probe sample + 1-row recall flag
       "q_text_tfidf",     // broadcasts the single-row corpus count N
       "q_sample_mixture", // broadcasts the single-row global min count
       "q_event_funnel",   // crossJoins three single-row stage counts

@@ -38,12 +38,23 @@ class PlanSpec extends SparkSpec {
 
   test("binned range join and neighbor-window jaccard avoid nested-loop joins") {
     Seq("q_join_range", "q_join_range_auto", "q_dedup_ngram_jaccard",
-        "q_dedup_minhash", "q_knn_lsh").foreach { q =>
+        "q_dedup_minhash").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
     }
+    // the registered q_knn_lsh now wraps the operator with bounded
+    // probe-sample broadcasts (r10 oracle pairing), so the no-BNLJ pin
+    // moves to the raw LSH operator itself: its bucket join must stay an
+    // equi-join, never all-pairs
+    val lshPlan = graft.operators.Vectors
+      .knnLsh(graft.sources.Tables.embeddings(spark, sfDir), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"),
+      "knnLsh operator has a cartesian product")
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"),
+      "knnLsh operator has a nested-loop join")
   }
 
   test("semi/anti joins plan as LeftSemi/LeftAnti (no materialized right side)") {

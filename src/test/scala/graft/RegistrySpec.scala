@@ -10,10 +10,10 @@ import graft.queries.Registry
   */
 class RegistrySpec extends AnyFunSuite {
 
-  test("declared surface: 111 queries, 102 oracle-paired, 9 rows-only") {
+  test("declared surface: 111 queries, 104 oracle-paired, 7 rows-only") {
     val all = Registry.all
     assert(all.size == 111, s"query count drifted: ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 102,
+    assert(all.count(_.oracle.isDefined) == 104,
       s"oracle-paired count drifted: ${all.count(_.oracle.isDefined)}")
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).toSet
     // every rows-only query must be one of the declared sketch/hash-internal
@@ -25,11 +25,13 @@ class RegistrySpec extends AnyFunSuite {
     // within-5% flag, so the non-replicable HLL value never enters the
     // hash while still being checked through the flag);
     // q_percentile_approx in r9 (same pattern — exact interpolated
-    // percentiles + a rank-interval within_accuracy flag).
+    // percentiles + a rank-interval within_accuracy flag);
+    // q_knn_lsh and q_knn_ivf in r10 (declared rows = exact sampled-probe
+    // top-k + a genuinely-computed recall@k flag of the real index).
     assert(rowsOnly == Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
       "q_dedup_clusters_exact_first",
       "q_dedup_pipeline", "q_dedup_pipeline_exact_first",
-      "q_knn_lsh", "q_knn_lsh_dedup", "q_knn_ivf"))
+      "q_knn_lsh_dedup"))
   }
 }
