@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** A real (if small) image codec, pure JDK — the B23 decode step made
@@ -23,6 +22,37 @@ object ImageCodec {
 
   final case class ImageInfo(format: String, width: Int, height: Int)
 
+  /** Per-partition reusable codec state (VERDICT r9 item 5): at 5 M
+    * decodes the per-row `new Deflater()`/`new Inflater()` (each a native
+    * zlib stream registered with a Cleaner) plus per-row scanline/output
+    * buffers sustain a ~GB/s allocation rate that starves GC threads at
+    * full worker parallelism — the measured 32-thread > 16-thread wall
+    * inversion at sf100 (BASELINE.md r9). One Scratch per
+    * `mapPartitions` task amortizes all of it; `close()` releases the
+    * native streams eagerly (wired to the task-completion listener in
+    * [[Multimodal.imageTable]]/[[Multimodal.decodeImages]]) instead of
+    * waiting on the Cleaner. Single-threaded use only — exactly the
+    * partition-iterator contract.
+    */
+  final class Scratch extends AutoCloseable {
+    private[ImageCodec] val deflater = new Deflater()
+    private[ImageCodec] val inflater = new Inflater()
+    private[ImageCodec] val crc = new CRC32()
+    // bufA: filtered/un-filtered scanlines; bufB: deflate output / IDAT
+    // concat — the two are live at once, so they must be distinct
+    private[ImageCodec] var bufA: Array[Byte] = new Array[Byte](4096)
+    private[ImageCodec] var bufB: Array[Byte] = new Array[Byte](4096)
+    private[ImageCodec] def a(n: Int): Array[Byte] = {
+      if (bufA.length < n) bufA = new Array[Byte](math.max(n, bufA.length * 2))
+      bufA
+    }
+    private[ImageCodec] def b(n: Int): Array[Byte] = {
+      if (bufB.length < n) bufB = new Array[Byte](math.max(n, bufB.length * 2))
+      bufB
+    }
+    override def close(): Unit = { deflater.end(); inflater.end() }
+  }
+
   private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
   // ---------------------------------------------------------------- encode
@@ -34,10 +64,21 @@ object ImageCodec {
     * path, not just the container walk.
     */
   def encodePng(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    val s = new Scratch
+    try encodePng(width, height, gray, s) finally s.close()
+  }
+
+  /** Scratch-reusing arm: the per-partition hot path ([[Multimodal.imageTable]]).
+    * Identical output bytes; zero per-row Deflater/buffer allocation
+    * beyond the returned PNG itself.
+    */
+  def encodePng(width: Int, height: Int, gray: Array[Byte],
+      s: Scratch): Array[Byte] = {
     require(gray.length == width * height,
       s"pixel buffer ${gray.length} != $width x $height")
     // filter each scanline (bpp = 1: left neighbor is the previous byte)
-    val raw = new Array[Byte](height * (width + 1))
+    val rawLen = height * (width + 1)
+    val raw = s.a(rawLen)
     var y = 0
     while (y < height) {
       val f = y % 5
@@ -60,18 +101,31 @@ object ImageCodec {
       }
       y += 1
     }
+    // deflate the scanlines into the second scratch buffer (growth must
+    // PRESERVE content mid-stream, hence copyOf rather than s.b)
+    val d = s.deflater
+    d.reset()
+    d.setInput(raw, 0, rawLen)
+    d.finish()
+    var idatLen = 0
+    while (!d.finished()) {
+      if (idatLen == s.bufB.length)
+        s.bufB = java.util.Arrays.copyOf(s.bufB, s.bufB.length * 2)
+      idatLen += d.deflate(s.bufB, idatLen, s.bufB.length - idatLen)
+    }
     val ihdr = new Array[Byte](13)
     putIntBE(ihdr, 0, width)
     putIntBE(ihdr, 4, height)
     ihdr(8) = 8  // bit depth
     ihdr(9) = 0  // color type: grayscale
     // ihdr(10..12) = compression 0, filter 0, interlace 0
-    val out = new ByteArrayOutputStream()
-    out.write(PngSig, 0, PngSig.length)
-    writeChunk(out, "IHDR", ihdr)
-    writeChunk(out, "IDAT", deflate(raw))
-    writeChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    // exact-size assembly: sig(8) + IHDR(12+13) + IDAT(12+len) + IEND(12)
+    val out = new Array[Byte](8 + 25 + 12 + idatLen + 12)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    var off = writeChunkInto(out, 8, "IHDR", ihdr, 0, 13, s.crc)
+    off = writeChunkInto(out, off, "IDAT", s.bufB, 0, idatLen, s.crc)
+    writeChunkInto(out, off, "IEND", ihdr, 0, 0, s.crc)
+    out
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -80,29 +134,21 @@ object ImageCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  private def writeChunk(out: ByteArrayOutputStream, typ: String,
-      data: Array[Byte]): Unit = {
-    val len = new Array[Byte](4)
-    putIntBE(len, 0, data.length)
-    out.write(len, 0, 4)
-    val t = typ.getBytes("US-ASCII")
-    out.write(t, 0, 4)
-    out.write(data, 0, data.length)
-    val crc = new CRC32()
-    crc.update(t); crc.update(data)
-    val c = new Array[Byte](4)
-    putIntBE(c, 0, crc.getValue.toInt)
-    out.write(c, 0, 4)
-  }
-
-  private def deflate(raw: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
-    d.setInput(raw); d.finish()
-    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
+  /** Writes one chunk (length, type, data slice, CRC-32) into `out` at
+    * `off0`; returns the offset past it. The CRC covers type + data, per
+    * RFC 2083 — computed in place over the already-copied span.
+    */
+  private def writeChunkInto(out: Array[Byte], off0: Int, typ: String,
+      data: Array[Byte], dataOff: Int, dataLen: Int, crc: CRC32): Int = {
+    putIntBE(out, off0, dataLen)
+    val t = off0 + 4
+    var i = 0
+    while (i < 4) { out(t + i) = typ.charAt(i).toByte; i += 1 }
+    System.arraycopy(data, dataOff, out, t + 4, dataLen)
+    crc.reset()
+    crc.update(out, t, 4 + dataLen)
+    putIntBE(out, t + 4 + dataLen, crc.getValue.toInt)
+    off0 + 12 + dataLen
   }
 
   private def putIntBE(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -181,12 +227,23 @@ object ImageCodec {
     * (non-grayscale color type, bit depth != 8, interlaced).
     */
   def decodePngGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val s = new Scratch
+    try decodePngGray(bytes, s) finally s.close()
+  }
+
+  /** Scratch-reusing arm (the [[Multimodal.decodeImages]] hot path): the
+    * single-IDAT common case feeds the inflater straight from `bytes`
+    * (zero copy) and inflates directly into the scratch scanline buffer —
+    * the only per-row allocation left is the returned pixel array.
+    */
+  def decodePngGray(bytes: Array[Byte],
+      s: Scratch): Option[(Int, Int, Array[Byte])] = {
     val info = decodeDims(bytes)
     if (!info.exists(_.format == "png")) return None
     val (w, h) = (info.get.width, info.get.height)
     if (bytes(24) != 8 || bytes(25) != 0 || bytes(28) != 0) return None
-    // concatenate IDAT payloads in order
-    val idat = new ByteArrayOutputStream()
+    // locate IDAT payload spans in order
+    val spans = new scala.collection.mutable.ArrayBuffer[(Int, Int)](1)
     var i = 8
     var ok = true
     while (ok && i + 8 <= bytes.length) {
@@ -194,16 +251,42 @@ object ImageCodec {
       val typ = new String(bytes, i + 4, 4, "US-ASCII")
       if (len < 0 || i + 8 + len + 4 > bytes.length) ok = false
       else {
-        if (typ == "IDAT") idat.write(bytes, i + 8, len)
+        if (typ == "IDAT") spans += ((i + 8, len))
         if (typ == "IEND") i = bytes.length
         else i += 8 + len + 4
       }
     }
-    if (!ok) return None
-    val raw = try inflate(idat.toByteArray, h * (w + 1)) catch {
-      case _: Exception => return None
+    if (!ok || spans.isEmpty) return None
+    val inf = s.inflater
+    inf.reset()
+    if (spans.length == 1) inf.setInput(bytes, spans(0)._1, spans(0)._2)
+    else { // multi-IDAT: concatenate into the second scratch buffer
+      var total = 0
+      spans.foreach(total += _._2)
+      val cat = s.b(total)
+      var off = 0
+      spans.foreach { case (o, l) =>
+        System.arraycopy(bytes, o, cat, off, l); off += l
+      }
+      inf.setInput(cat, 0, total)
     }
-    if (raw.length != h * (w + 1)) return None
+    val expected = h * (w + 1)
+    val raw = s.a(expected)
+    var got = 0
+    try {
+      var stalled = false
+      while (!stalled && got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        // n == 0 unfinished means truncated input (needsInput) or a
+        // corrupt stall — both decode to None via the length check
+        if (n == 0 && !inf.finished()) stalled = true
+        got += n
+      }
+      if (got != expected) return None
+      // surplus pixels beyond the header's h*(w+1) (or a trailing stall)
+      // were a length mismatch in the collect-everything form: reject
+      if (!inf.finished() && !inf.needsInput()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
     // un-filter scanlines (bpp = 1)
     val px = new Array[Byte](w * h)
     var y = 0
@@ -229,19 +312,5 @@ object ImageCodec {
       y += 1
     }
     Some((w, h, px))
-  }
-
-  private def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(z)
-    val out = new ByteArrayOutputStream(expected)
-    val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && !inf.finished()) throw new java.util.zip.DataFormatException("stalled")
-      out.write(buf, 0, n)
-    }
-    inf.end()
-    out.toByteArray
   }
 }

@@ -126,6 +126,12 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // one native Deflater + scratch per task, not per row (r9 item 5:
+        // per-row codec allocation starves GC at full parallelism);
+        // released eagerly at task end rather than by the Cleaner
+        val scratch = new ImageCodec.Scratch
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => scratch.close()))
         rows.map { case (id, text) =>
           val w = (8 + id % 24).toInt
           val h = (8 + id % 16).toInt
@@ -134,7 +140,7 @@ object Multimodal {
           val px = new Array[Byte](w * h)
           var i = 0
           while (i < px.length) { px(i) = src(i % src.length); i += 1 }
-          (id, ImageCodec.encodePng(w, h, px))
+          (id, ImageCodec.encodePng(w, h, px, scratch))
         }
       }
   }
@@ -152,10 +158,14 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // one native Inflater + scanline scratch per task (r9 item 5)
+      val scratch = new ImageCodec.Scratch
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => scratch.close()))
       rows.map { case (id, payload) =>
         ImageCodec.decodeDims(payload) match {
           case Some(info) =>
-            val digest = ImageCodec.decodePngGray(payload).map { case (_, _, px) =>
+            val digest = ImageCodec.decodePngGray(payload, scratch).map { case (_, _, px) =>
               md.reset()
               md.digest(px).map("%02x".format(_)).mkString
             }

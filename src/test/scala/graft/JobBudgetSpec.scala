@@ -1,0 +1,63 @@
+package graft
+
+/** Driver-blocking JOB budget pin (VERDICT r9 item 6): ShuffleBudgetSpec
+  * pins Exchange counts, but the sf0.001 fixed-cost floor is made of JOB
+  * round-trips — censuses, probe aggregates, checkpoint materializations,
+  * AQE stage jobs — which no plan-shape audit sees. This spec records,
+  * for the census/probe-bearing queries (the floor payers the r10 cut
+  * targeted), the total jobs launched from query build through a noop
+  * write, and fails on growth: an edit that silently re-adds an eager
+  * checkpoint or splits a fused census pays a job this pin catches, the
+  * way ShuffleBudgetSpec catches a silently-added shuffle.
+  *
+  * Budgets are ceilings measured in THIS spec's session (local[4],
+  * shuffle=4, sf0.001 — job counts include per-shuffle AQE stage jobs,
+  * so they are config-sensitive; re-record deliberately when a query's
+  * pass structure changes). Table metadata is pre-warmed so the memoized
+  * first-load job (Tables.load cache, r10) never lands on whichever
+  * pinned query happens to run first.
+  */
+class JobBudgetSpec extends SparkSpec {
+
+  private val budget: Map[String, Int] = Map(
+    "q_dedup_clusters" -> 11,
+    "q_dedup_clusters_exact_first" -> 16,
+    "q_dedup_pipeline_exact_first" -> 16,
+    "q_event_resample" -> 4,
+    "q_knn_ivf" -> 12,
+    "q_knn_lsh" -> 12,
+    "q_knn_lsh_dedup" -> 16,
+    "q_ntile" -> 8,
+    "q_ntile_approx" -> 19,
+    "q_percentile" -> 17,
+    "q_percentile_approx" -> 19,
+    "q_sample_mixture" -> 7,
+    "q_text_tfidf" -> 9)
+
+  test("census/probe-bearing queries launch no more jobs than recorded") {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val counter = new JobCountProbe.JobCounter
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      def drained(): Long = {
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        counter.snapshot
+      }
+      val counts = budget.toSeq.sortBy(_._1).map { case (name, b) =>
+        val j0 = drained()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (name, (drained() - j0).toInt, b)
+      }
+      val over = counts.collect { case (n, j, b) if j > b => s"$n: $j jobs > budget $b" }
+      assert(over.isEmpty,
+        s"""job budgets exceeded: ${over.mkString("; ")}
+           |all counts: ${counts.map { case (n, j, _) => s"$n=$j" }.mkString(", ")}""".stripMargin)
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+}

@@ -81,6 +81,54 @@ class MultimodalSpec extends SparkSpec {
     assert(dpx.sameElements(px), "un-filter must recover every pixel byte")
   }
 
+  test("PNG scratch arm: byte-identical across reuse, multi-IDAT, corrupt streams") {
+    import graft.operators.ImageCodec
+    val s = new ImageCodec.Scratch
+    // one Scratch across many sizes: growth + stale-content reuse must
+    // never leak into the output (the per-partition hot-path contract)
+    val sizes = Seq((8, 8), (31, 23), (9, 21), (31, 23), (8, 8))
+    sizes.zipWithIndex.foreach { case ((w, h), k) =>
+      val px = Array.tabulate(w * h)(i => ((i * 53 + k * 17) % 256).toByte)
+      val viaScratch = ImageCodec.encodePng(w, h, px, s)
+      assert(viaScratch.sameElements(ImageCodec.encodePng(w, h, px)),
+        s"scratch encode must be byte-identical (cell $k)")
+      val Some((_, _, back)) = ImageCodec.decodePngGray(viaScratch, s)
+      assert(back.sameElements(px), s"scratch decode round-trip (cell $k)")
+    }
+    // multi-IDAT: split our single IDAT into two chunks — the concat path
+    val (w, h) = (13, 7)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = ImageCodec.encodePng(w, h, px)
+    val idatLen = java.nio.ByteBuffer.wrap(png, 33, 4).getInt
+    val data = png.slice(41, 41 + idatLen)
+    def chunk(typ: String, d: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + d.length)
+      out.putInt(d.length).put(typ.getBytes("US-ASCII")).put(d)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(d)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val cut = idatLen / 2
+    val multi = png.take(33) ++ chunk("IDAT", data.take(cut)) ++
+      chunk("IDAT", data.drop(cut)) ++ chunk("IEND", Array.emptyByteArray)
+    val Some((_, _, viaMulti)) = ImageCodec.decodePngGray(multi, s)
+    assert(viaMulti.sameElements(px), "two-IDAT container must decode identically")
+    // truncated IDAT (half the deflate stream lost — dropping just the
+    // 4-byte Adler trailer is NOT corruption either arm detects, since
+    // the full pixel payload still inflates): None, not garbage
+    val trunc = png.take(33) ++ chunk("IDAT", data.take(idatLen / 2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(ImageCodec.decodePngGray(trunc, s).isEmpty)
+    // surplus pixels (header claims fewer rows than the stream holds): None
+    val lied = png.clone()
+    java.nio.ByteBuffer.wrap(lied, 20, 4).putInt(h - 1)
+    assert(ImageCodec.decodePngGray(lied, s).isEmpty)
+    // and the scratch survives corrupt inputs: a clean decode still works
+    val Some((_, _, again)) = ImageCodec.decodePngGray(png, s)
+    assert(again.sameElements(px))
+    s.close()
+  }
+
   test("PNG decode agrees with an INDEPENDENT encoder (javax.imageio)") {
     // ImageIO (JDK) writes its own grayscale PNGs — filters, zlib strategy,
     // chunk layout all chosen independently of our encoder. Decoding them
