@@ -163,6 +163,66 @@ object Dedup {
     shingleHashRows(docs).groupBy(col("id"))
       .agg(collect_set(col("h")).as("g"))
 
+  /** Exact word-trigram Jaccard pairs inside a doc-id blocking window —
+    * the SQL-expressible exact near-dup shape (`q_dedup_ngram_jaccard`,
+    * and since r10 the declared truth frame of the minhash/simhash pair
+    * queries). Grams are 64-bit hashes, never gram strings — 1-1 with
+    * string trigrams on this corpus (TextSpec asserts the preconditions),
+    * so intersection/set sizes and therefore jaccard are bitwise-equal to
+    * a string-gram oracle. The window becomes an exploded equi-join (a
+    * raw BETWEEN theta-join would plan as a nested loop — dead at scale);
+    * cost is O(window × corpus), linear in the corpus at fixed window.
+    * `docs` must have (id, text); output (id_a, id_b, jaccard), unordered.
+    */
+  def exactJaccardWindowPairs(docs: DataFrame, tau: Double,
+      window: Int): DataFrame = {
+    // materialized ONCE: the gram-set subplan (explode + windows +
+    // dropDuplicates + collect_set) feeds both sides of the pair join,
+    // and Spark executes a self-joined subplan per side (exchange reuse
+    // does not fire) — lazy, so no job until the caller's action
+    val grams = gramHashSets(docs)
+      .select(col("id").as("doc_id"), col("g"))
+      .localCheckpoint(false)
+    val a = grams.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      .withColumn("id_b_cand",
+        explode(sequence(col("id_a") + 1, col("id_a") + window)))
+    val b = grams.select(col("doc_id").as("id_b"), col("g").as("g_b"))
+    // materialize the intersection size once per pair — referencing the
+    // array_intersect expression from numerator, denominator, and filter
+    // would recompute it each time
+    a.join(b, col("id_b_cand") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).as("n_inter"),
+        size(col("g_a")).as("n_a"), size(col("g_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Truth rows + a genuine recall flag of a candidate pair set — the
+    * dedup-pair arm of the exact-plus-genuine-flag oracle pattern
+    * (`Vectors.withRecallFlag` is the bounded-sample kNN arm; THIS shape
+    * avoids its single-partition window because a corpus-blocking truth
+    * frame is O(corpus) rows, not probes × k). The marked join is
+    * lazy-checkpointed so the truth and candidate subplans execute once,
+    * and the scalar flag rides back on a broadcast single-row crossJoin
+    * (the tfidf/vocab count pattern). `candidates` must be unique per
+    * (id_a, id_b) — true of minhashPairs/simhashPairs' dropDuplicates
+    * outputs. Empty truth ⇒ zero output rows (the flag is vacuous).
+    */
+  def withPairRecallFlag(truth: DataFrame, candidates: DataFrame,
+      bound: Double, name: String): DataFrame = {
+    val marked = truth.join(
+        candidates.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+        Seq("id_a", "id_b"), "left")
+      .localCheckpoint(false)
+    val flag = marked.agg(
+      (count(col("__hit")) >=
+        count(lit(1)).cast("double") * lit(bound)).as(name))
+    marked.drop("__hit").crossJoin(broadcast(flag))
+  }
+
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame =
     shingleHashRows(docs).groupBy(col("id"))
       .agg(array((0 until numPerm).map(p =>

@@ -32,6 +32,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("pair recall flag: true on the real candidate set, false on an empty one") {
+    // the r10 oracle-pairing machinery for q_dedup_minhash/q_dedup_simhash:
+    // truth = exact window pairs; flag = genuine recall of the candidates
+    val truth = Dedup.exactJaccardWindowPairs(corpus.select(
+      col("id"), col("text")), tau = 0.5, window = 200)
+    assert(truth.count() >= 2, "fixture must plant window truth pairs")
+    // positive arm: the real minhash candidates catch the planted dups
+    val flagged = Dedup.withPairRecallFlag(truth,
+      Dedup.minhashPairs(corpus, threshold = 0.5), 0.7, "ok")
+    val rows = flagged.collect()
+    assert(rows.length == truth.count())
+    assert(rows.forall(_.getAs[Boolean]("ok")), "real candidates must pass 0.7")
+    // negative arm: an empty candidate set must flip the flag on every row
+    val none = Dedup.minhashPairs(corpus, threshold = 0.5).filter(lit(false))
+    val failed = Dedup.withPairRecallFlag(truth, none, 0.25, "ok").collect()
+    assert(failed.nonEmpty && failed.forall(!_.getAs[Boolean]("ok")),
+      "zero recall must fail even the loosest declared bound")
+    // truth rows carry the exact jaccard, not the estimate: planted exact
+    // dup (1,2) is jaccard 1.0
+    val j12 = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(j12.exists(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("minhash: exact dup pair has estimated jaccard 1.0") {
     val est = Dedup.minhashPairs(corpus, threshold = 0.5)
       .filter(col("id_a") === 1 && col("id_b") === 2)

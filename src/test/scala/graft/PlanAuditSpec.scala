@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
   private val singleRowBroadcastOk =
     Set("q_knn_cosine", "q_knn_ivf", "q_dedup_embedding",
       "q_knn_lsh",        // limit-capped probe sample + 1-row recall flag
+      "q_dedup_minhash",  // 1-row recall flag (r10 oracle pairing)
+      "q_dedup_simhash",  // 1-row recall flag (r10 oracle pairing)
       "q_text_tfidf",     // broadcasts the single-row corpus count N
       "q_sample_mixture", // broadcasts the single-row global min count
       "q_event_funnel",   // crossJoins three single-row stage counts

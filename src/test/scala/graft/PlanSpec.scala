@@ -37,13 +37,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("binned range join and neighbor-window jaccard avoid nested-loop joins") {
-    Seq("q_join_range", "q_join_range_auto", "q_dedup_ngram_jaccard",
-        "q_dedup_minhash").foreach { q =>
+    Seq("q_join_range", "q_join_range_auto", "q_dedup_ngram_jaccard")
+      .foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
     }
+    // the registered q_dedup_minhash carries a 1-row recall-flag
+    // broadcast since its r10 oracle pairing, so (like q_knn_lsh below)
+    // the no-BNLJ pin moves to the raw operator: its band-bucket pair
+    // generation must stay an equi-join, never all-pairs
+    val mhPlan = graft.operators.Dedup
+      .minhashPairs(graft.sources.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+          org.apache.spark.sql.functions.col("text")), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("CartesianProduct"),
+      "minhashPairs operator has a cartesian product")
+    assert(!mhPlan.contains("BroadcastNestedLoopJoin"),
+      "minhashPairs operator has a nested-loop join")
     // the registered q_knn_lsh now wraps the operator with bounded
     // probe-sample broadcasts (r10 oracle pairing), so the no-BNLJ pin
     // moves to the raw LSH operator itself: its bucket join must stay an
