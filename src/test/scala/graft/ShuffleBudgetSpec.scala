@@ -39,15 +39,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dedup_clusters_exact_first" -> 3,
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
-    "q_dedup_minhash" -> 4,
-    "q_dedup_ngram_jaccard" -> 2,
+    // r10 re-record 4 -> 3: the oracle-paired form's VISIBLE plan is the
+    // lazy-checkpointed truth⋈candidates mark frame (operator + truth
+    // internals hide behind that boundary — both audited via the raw
+    // operator pins in PlanSpec/DedupSpec) + the 1-row flag broadcast +
+    // output sort
+    "q_dedup_minhash" -> 3,
+    // r10 re-record 2 -> 7: the exploded-window + array_intersect form
+    // became the inverted-index set-similarity join (shared machinery
+    // with the minhash/simhash truth frames) — more exchanges, each
+    // moving (id, gram-hash) or pair-count rows instead of full gram-set
+    // arrays; measured FASTER at sf0.1 (1.27 -> 1.08 s) and 3.2x cheaper
+    // at the truth frames' window 200
+    "q_dedup_ngram_jaccard" -> 7,
     "q_dedup_pipeline" -> 3,
     // exact-first: text-groupBy collapse + degenerate-branch scan + the
     // keep semi-join's BroadcastExchange (r7 re-record 5 -> 3: the
     // census-gated broadcast of keepIds replaced the corpus-wide
     // shuffle-by-id semi join; CC internals hide behind checkpoints)
     "q_dedup_pipeline_exact_first" -> 3,
-    "q_dedup_simhash" -> 4,
+    "q_dedup_simhash" -> 3, // r10 oracle pairing — see q_dedup_minhash
     "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
     "q_event_retention" -> 4,
