@@ -87,9 +87,30 @@ FROM ranked WHERE rn <= 5 ORDER BY id_a, id_b""") { (s, d) =>
     // (KnnSpec pins bitwise equality with q_knn_lsh's operator on a
     // duplicated corpus) — the production shape for duplicate-heavy
     // corpora, where plain LSH candidate counts grow quadratically in
-    // the duplication factor. rows-only for the same xxhash64 reason.
-    Q.noOracle("q_knn_lsh_dedup") { (s, d) =>
-      Vectors.knnLshDeduped(Tables.embeddings(s, d), k = 5)
+    // the duplication factor. ORACLE-PAIRED since r10 (the last kNN
+    // rows-only entry): same declared shape as q_knn_lsh — exact
+    // brute-force top-5 over the bounded 32-probe sample — with the
+    // recall flag computed genuinely from the DEDUPED index's output
+    // (bitwise ≡ knnLsh by KnnSpec, so the same 0.15 bound vs measured
+    // 0.325–0.488 holds; a broken collapse, expansion, or membership
+    // join flips the flag red).
+    Q("q_knn_lsh_dedup",
+      s"""WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${duckDot("a.embedding", "b.embedding")}
+    / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 32),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b) AS rn
+  FROM pairs)
+SELECT id_a, id_b, cos_sim, TRUE AS lsh_dedup_recall_ok
+FROM ranked WHERE rn <= 5 ORDER BY id_a, id_b""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 5)
+      val lshd = Vectors.knnLshDeduped(emb, k = 5).filter(col("id_a") < 32)
+      Vectors.withRecallFlag(exact, lshd, 0.15, "lsh_dedup_recall_ok")
         .orderBy("id_a", "id_b")
     },
 

@@ -43,6 +43,46 @@ object DedupRecallProbe {
         println(f"[dedup-recall] $d $name truth=$nTruth " +
           f"candidates_in_window=$nCand hits=$hits recall=$recall%.3f")
       }
+      // cluster co-clustering agreement (q_dedup_clusters* flags): truth
+      // edges whose endpoints the real composition co-clusters
+      Seq(
+        ("clusters", Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5))),
+        ("clusters_exact_first", Dedup.clustersExactFirst(docs, threshold = 0.5))
+      ).foreach { case (name, labels) =>
+        val lc = labels.localCheckpoint(true)
+        val agree = truth
+          .join(lc.select(col("id").as("id_a"), col("cluster").as("ca")),
+            Seq("id_a"), "left")
+          .join(lc.select(col("id").as("id_b"), col("cluster").as("cb")),
+            Seq("id_b"), "left")
+          .agg(count(when(col("ca") === col("cb"), 1)).as("co"),
+            count(lit(1)).as("n")).head()
+        println(f"[dedup-recall] $d $name truth_edges=${agree.getLong(1)} " +
+          f"co_clustered=${agree.getLong(0)} " +
+          f"agreement=${agree.getLong(0).toDouble / math.max(agree.getLong(1), 1)}%.3f")
+      }
+      // pipeline two-arm agreement (q_dedup_pipeline* flags)
+      val docsL = graft.sources.Tables.documents(spark, d)
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+      val tl = Dedup.clusters(truth).localCheckpoint(true)
+      val declaredSurv = docsL.join(tl, Seq("id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("id"))
+        .select(col("id")).localCheckpoint(true)
+      val truthDropped = tl.filter(col("cluster") =!= col("id")).select(col("id"))
+      Seq(
+        ("pipeline", Dedup.survivors(docsL, threshold = 0.5)),
+        ("pipeline_exact_first", Dedup.survivorsExactFirst(docsL, threshold = 0.5))
+      ).foreach { case (name, sv) =>
+        val real = sv.select(col("id")).localCheckpoint(true)
+        val nDecl = declaredSurv.count()
+        val kept = declaredSurv.join(real, Seq("id"), "left_semi").count()
+        val nDrop = truthDropped.count()
+        val alsoDropped = truthDropped.join(real, Seq("id"), "left_anti").count()
+        println(f"[dedup-recall] $d $name declared_survivors=$nDecl " +
+          f"kept_by_real=$kept (arm1=${kept.toDouble / math.max(nDecl, 1)}%.3f) " +
+          f"truth_dropped=$nDrop also_dropped=$alsoDropped " +
+          f"(arm2=${alsoDropped.toDouble / math.max(nDrop, 1)}%.3f)")
+      }
     }
     spark.stop()
   }

@@ -20,13 +20,13 @@ package graft
 class JobBudgetSpec extends SparkSpec {
 
   private val budget: Map[String, Int] = Map(
-    "q_dedup_clusters" -> 11,
-    "q_dedup_clusters_exact_first" -> 16,
-    "q_dedup_pipeline_exact_first" -> 16,
+    "q_dedup_clusters" -> 24,   // r10 oracle pairing: truth CC + minhash CC
+    "q_dedup_clusters_exact_first" -> 31, // r10 oracle pairing
+    "q_dedup_pipeline_exact_first" -> 33, // r10 oracle pairing
     "q_event_resample" -> 4,
     "q_knn_ivf" -> 12,
     "q_knn_lsh" -> 12,
-    "q_knn_lsh_dedup" -> 16,
+    "q_knn_lsh_dedup" -> 21,    // r10 oracle pairing: + exact batch & flag
     "q_ntile" -> 8,
     "q_ntile_approx" -> 19,
     "q_percentile" -> 17,

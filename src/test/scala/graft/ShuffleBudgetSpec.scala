@@ -31,12 +31,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_array_funcs" -> 1,
     "q_cube" -> 2,
     "q_date_funcs" -> 2,
-    "q_dedup_clusters" -> 1,
+    // r10 re-record 1 -> 5: oracle pairing — the declared CC runs on the
+    // truth edges (its internals still hide behind the operator's round
+    // checkpoints) and the flag adds the truth/minhash-label joins + the
+    // 1-row broadcast; every new exchange moves edge/label frames
+    "q_dedup_clusters" -> 5,
     // exact-first: text-groupBy collapse + output sort + the expansion
     // join's BroadcastExchange (r7 re-record 4 -> 3: the census-gated
     // broadcast replaced the corpus-wide sort-merge-by-text — the sf1000
     // cell's dominant shuffle; CC internals hide behind checkpoints)
-    "q_dedup_clusters_exact_first" -> 3,
+    "q_dedup_clusters_exact_first" -> 7, // r10 oracle pairing — see q_dedup_clusters
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
     // r10 re-record 4 -> 3: the oracle-paired form's VISIBLE plan is the
@@ -52,12 +56,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // arrays; measured FASTER at sf0.1 (1.27 -> 1.08 s) and 3.2x cheaper
     // at the truth frames' window 200
     "q_dedup_ngram_jaccard" -> 7,
-    "q_dedup_pipeline" -> 3,
+    "q_dedup_pipeline" -> 6, // r10 oracle pairing — truth keep-join + two-arm flag broadcasts
     // exact-first: text-groupBy collapse + degenerate-branch scan + the
     // keep semi-join's BroadcastExchange (r7 re-record 5 -> 3: the
     // census-gated broadcast of keepIds replaced the corpus-wide
     // shuffle-by-id semi join; CC internals hide behind checkpoints)
-    "q_dedup_pipeline_exact_first" -> 3,
+    "q_dedup_pipeline_exact_first" -> 6, // r10 oracle pairing
     "q_dedup_simhash" -> 3, // r10 oracle pairing — see q_dedup_minhash
     "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
@@ -102,7 +106,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // shuffle) is gone; candidates are ranked ONCE per rep and members
     // expand by array slice, so no member-scale exchange remains beyond
     // the membership join itself
-    "q_knn_lsh_dedup" -> 10,
+    // r10 re-record 10 -> 15: oracle pairing composes the operator (10)
+    // with the exact probe batch + recall-flag join/window (the q_knn_lsh
+    // shape) — added exchanges move sample-bounded frames only
+    "q_knn_lsh_dedup" -> 15,
     "q_map_funcs" -> 1,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
