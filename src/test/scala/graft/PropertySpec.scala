@@ -72,6 +72,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactJaccardWindowPairs equals a driver-side brute force (random corpora)") {
+    // the r10 inverted-index set-similarity join backs the declared rows
+    // of six oracle-paired queries — pin it against an independent
+    // string-gram reference, including exact/near dups and the <3-word
+    // degenerate shingle arm
+    import spark.implicits._
+    // mirror of Dedup.shingleHashRows' gram semantics, on STRINGS
+    def grams(t: String): Set[Seq[String]] = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.length >= 3) ws.sliding(3).toSet else Set(ws)
+    }
+    (1L to 5L).foreach { seed =>
+      val base = sample(Gen.listOfN(8, docGen), seed)
+      val texts = base ++ Seq(
+        base.head,                                  // exact dup of 0 (id 8)
+        base(1).split(' ').drop(1).mkString(" "),   // near dup of 1 (id 9)
+        "ab cd")                                    // degenerate 2-word doc
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = Dedup.exactJaccardWindowPairs(docs, tau = 0.3, window = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expect = (for {
+        a <- texts.indices; b <- texts.indices
+        if b > a && b <= a + 9
+        ga = grams(texts(a)); gb = grams(texts(b))
+        inter = (ga & gb).size
+        j = inter.toDouble / (ga.size + gb.size - inter)
+        if j >= 0.3
+      } yield (a.toLong, b.toLong, j)).toSet
+      assert(got == expect,
+        s"seed=$seed got=${got.toList.sorted} expect=${expect.toList.sorted}")
+      assert(expect.exists { case (a, b, j) => a == 0L && b == 8L && j == 1.0 },
+        s"fixture must plant the exact-dup window pair, seed=$seed")
+    }
+  }
+
   test("BottomIds: any reduce/merge tree equals sorted.take(n), buffer never exceeds n") {
     // the aggregate's correctness rests on reduce and merge agreeing with
     // the naive sort-take under ANY partitioning Spark chooses — model that
