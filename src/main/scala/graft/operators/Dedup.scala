@@ -171,18 +171,23 @@ object Dedup {
     * so intersection/set sizes and therefore jaccard are bitwise-equal to
     * a string-gram oracle.
     *
-    * Shape: an INVERTED-INDEX self-equi-join on the gram hash (the
-    * classic exact set-similarity join) — `|a ∩ b|` is the per-pair count
-    * of matching gram rows, so no gram array is ever materialized or
+    * Shape: an INVERTED-INDEX self-equi-join on (gram hash, id BLOCK) —
+    * the classic exact set-similarity join with the blocking window
+    * folded INTO the join key. `|a ∩ b|` is the per-pair count of
+    * matching gram rows, so no gram array is ever materialized or
     * intersected, and pairs sharing zero grams (the overwhelming bulk of
     * a window: 91% on this corpus) never exist at all. The first r10 form
     * exploded every in-window id and array_intersect'ed full gram sets —
     * O(window × corpus) intersect calls put q_dedup_minhash at 5.1 s
-    * (sf0.1); this form is bounded by shared-gram incidences instead
-    * (window-capped per gram) and measured 3.2× cheaper end-to-end. The
-    * residual scale caveat is the stop-gram hot key (a gram shared by
-    * every doc in a window span fans out O(window) pairs per occurrence)
-    * — bounded by the window, split further by AQE skew-join.
+    * (sf0.1); the plain hash-only join that replaced it was measured 3.2×
+    * cheaper there but left the window as a RESIDUAL filter, so a
+    * duplication-heavy corpus (sf100's 1000 identical copies per text)
+    * still paid O(df²) hash-matched candidates per gram before the filter
+    * dropped them. Folding `floor(id/window)` into the key (the a-side
+    * explodes to its own and the next block; an in-window pair lands in
+    * exactly one of the two) bounds in-bucket work to the ids inside a
+    * 2×window span SHARING THE GRAM — O(window) per occurrence even for
+    * a stop gram shared by every doc, duplication-immune by construction.
     * `docs` must have (id, text); output (id_a, id_b, jaccard), unordered.
     */
   def exactJaccardWindowPairs(docs: DataFrame, tau: Double,
@@ -192,8 +197,16 @@ object Dedup {
     // shingle subplan would otherwise execute three times
     val rows = shingleHashRows(docs).localCheckpoint(false)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = rows.select(col("id").as("id_a"), col("h"))
-      .join(rows.select(col("id").as("id_b"), col("h")), Seq("h"))
+    val blk = floor(col("id") / window).cast("long")
+    // a-side rows carry (own block, next block): pair (a,b) with
+    // a < b ≤ a+window has floor(b/w) ∈ {floor(a/w), floor(a/w)+1} and
+    // matches on exactly ONE of the two (blk_b is single-valued), so no
+    // pair dedup is needed
+    val inter = rows
+      .select(col("id").as("id_a"), col("h"),
+        explode(array(blk, blk + 1)).as("blk"))
+      .join(rows.select(col("id").as("id_b"), col("h"), blk.as("blk")),
+        Seq("h", "blk"))
       .filter(col("id_b") > col("id_a") &&
         col("id_b") <= col("id_a") + window)
       .groupBy(col("id_a"), col("id_b"))

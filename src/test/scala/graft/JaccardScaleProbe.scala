@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade cells for the r10 inverted-index exact-Jaccard window join
+  * ([[graft.operators.Dedup.exactJaccardWindowPairs]]) — the truth-frame
+  * machinery inside six oracle-paired queries' declared rows, measured on
+  * the shape those queries run (tau 0.5, window 200). The scaling claim
+  * to verify: pair work is bounded by shared-gram incidences (window-
+  * capped per gram occurrence), so the join scales linearly in the corpus
+  * at fixed window — including the documented stop-gram hot-key caveat.
+  *
+  * Usage: sbt "Test/runMain graft.JaccardScaleProbe [dirs...]"
+  */
+object JaccardScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("tmp/sf1", "tmp/sf10", "tmp/sf100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.spinMarkerMs(1000000L)
+    val spin = Bench.spinMarkerMs()
+    dirs.foreach { d =>
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val n = docs.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val res = graft.operators.Dedup
+          .exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
+          .agg(count(lit(1)), coalesce(sum(col("jaccard")), lit(0.0))).head()
+        val s = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        (s, res.getLong(0))
+      }
+      println(f"[jaccardscale] $d docs=$n pairs=${times.head._2} " +
+        f"best=${times.map(_._1).min}%.1f s " +
+        f"(all: ${times.map(t => f"${t._1}%.1f").mkString("/")}) spin=$spin%.0f")
+    }
+    spark.stop()
+  }
+}
