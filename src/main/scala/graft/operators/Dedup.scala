@@ -67,16 +67,38 @@ object Dedup {
       val droppedMembers: org.apache.spark.util.LongAccumulator,
       val largestBucket: MaxAccumulator) extends Serializable
 
+  /** Strong references to the most recent drop-counter sets.
+    * AccumulatorContext only holds registered accumulators WEAKLY, so once
+    * a caller releases its plan and the driver GCs (Bench runs System.gc()
+    * between queries), a LATE task-completion event — cancelled tasks of a
+    * limit-short-circuited or retried job draining after the query
+    * returned — can find its accumulator already collected, and the
+    * DAGScheduler event loop logs a full garbage-collected-accumulator
+    * stack (VERDICT r10 item 3: that stack polluted the driver bench
+    * artifact's 2000-char stdout tail under contention). Retaining the
+    * last `RetainStats` sets keeps the ids resolvable until any straggler
+    * event drains — the update lands harmlessly — while the ring bounds
+    * memory for long-lived sessions (3 tiny accumulators per entry; 4096
+    * queries of slack is far beyond any in-flight event window).
+    */
+  private val RetainStats = 4096
+  private val retained = new java.util.ArrayDeque[DropStats](16)
+
   /** Fresh named drop counters registered on `spark`'s context. */
   def dropStats(spark: org.apache.spark.sql.SparkSession,
       label: String): DropStats = {
     val sc = spark.sparkContext
     val lb = new MaxAccumulator
     sc.register(lb, s"graft.dedup.$label.largest_bucket")
-    new DropStats(
+    val st = new DropStats(
       sc.longAccumulator(s"graft.dedup.$label.dropped_buckets"),
       sc.longAccumulator(s"graft.dedup.$label.dropped_members"),
       lb)
+    retained.synchronized {
+      retained.addLast(st)
+      if (retained.size > RetainStats) retained.removeFirst()
+    }
+    st
   }
 
   /** Filter `buckets` to sizes in [2, maxBucket], bumping the drop
@@ -191,11 +213,18 @@ object Dedup {
     * `docs` must have (id, text); output (id_a, id_b, jaccard), unordered.
     */
   def exactJaccardWindowPairs(docs: DataFrame, tau: Double,
-      window: Int): DataFrame = {
+      window: Int, materialize: Boolean = true): DataFrame = {
     // materialized ONCE (lazy): the distinct (id, gram-hash) rows feed
     // the sizes aggregate and both join sides — the window-function
-    // shingle subplan would otherwise execute three times
-    val rows = shingleHashRows(docs).localCheckpoint(false)
+    // shingle subplan would otherwise execute three times. The
+    // `materialize = false` arm recomputes the shingle subplan per
+    // consumer instead; it exists for the disk-posture A/B (VERDICT r10
+    // item 4: the checkpoint doubles the gram rows' disk footprint at
+    // sf100 — ~12 GB of block files on top of the join's own spill).
+    // Measured at sf100 (TruthFrameDiskProbe, BASELINE.md r11): see the
+    // recorded cells before flipping the default.
+    val rowsPlan = shingleHashRows(docs)
+    val rows = if (materialize) rowsPlan.localCheckpoint(false) else rowsPlan
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val blk = floor(col("id") / window).cast("long")
     // a-side rows carry (own block, next block): pair (a,b) with

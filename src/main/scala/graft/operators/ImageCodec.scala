@@ -111,7 +111,15 @@ object ImageCodec {
     while (!d.finished()) {
       if (idatLen == s.bufB.length)
         s.bufB = java.util.Arrays.copyOf(s.bufB, s.bufB.length * 2)
-      idatLen += d.deflate(s.bufB, idatLen, s.bufB.length - idatLen)
+      val n = d.deflate(s.bufB, idatLen, s.bufB.length - idatLen)
+      // zlib always produces output after finish() while unfinished with
+      // buffer space available; a zero-byte return there is outside the
+      // contract and would spin this loop forever — bail loudly instead
+      // (ADVICE r10: defensive backstop, never observed)
+      if (n == 0 && !d.finished())
+        throw new IllegalStateException(
+          s"deflate made no progress at $idatLen/${s.bufB.length} bytes")
+      idatLen += n
     }
     val ihdr = new Array[Byte](13)
     putIntBE(ihdr, 0, width)

@@ -53,6 +53,30 @@ object Multimodal {
       math.max((payload.length + 255) / 256, 1)
   }
 
+  /** Release `scratch`'s native codec streams when the partition finishes:
+    * on the task-completion listener when a TaskContext exists (the
+    * executor path), otherwise — driver-local evaluation, unit tests
+    * walking the iterator directly (ADVICE r10) — on iterator exhaustion.
+    * Only a partially-consumed off-task iterator still falls back to the
+    * GC Cleaner, which is correct (if slow) by zlib's own contract.
+    */
+  private def closeOnCompletion[T](rows: Iterator[T],
+      scratch: AutoCloseable): Iterator[T] =
+    Option(org.apache.spark.TaskContext.get()) match {
+      case Some(tc) =>
+        tc.addTaskCompletionListener[Unit](_ => scratch.close())
+        rows
+      case None => new Iterator[T] {
+        private var closed = false
+        override def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !closed) { closed = true; scratch.close() }
+          h
+        }
+        override def next(): T = rows.next()
+      }
+    }
+
   /** Media table from documents: the text bytes stand in for a blob, with a
     * typed metadata struct alongside — the storage shape for any modality.
     */
@@ -128,11 +152,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // one native Deflater + scratch per task, not per row (r9 item 5:
         // per-row codec allocation starves GC at full parallelism);
-        // released eagerly at task end rather than by the Cleaner
+        // released eagerly at task end / iterator exhaustion
         val scratch = new ImageCodec.Scratch
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => scratch.close()))
-        rows.map { case (id, text) =>
+        closeOnCompletion(rows.map { case (id, text) =>
           val w = (8 + id % 24).toInt
           val h = (8 + id % 16).toInt
           val t = if (text == null || text.isEmpty) "A" else text
@@ -141,7 +163,7 @@ object Multimodal {
           var i = 0
           while (i < px.length) { px(i) = src(i % src.length); i += 1 }
           (id, ImageCodec.encodePng(w, h, px, scratch))
-        }
+        }, scratch)
       }
   }
 
@@ -160,9 +182,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       // one native Inflater + scanline scratch per task (r9 item 5)
       val scratch = new ImageCodec.Scratch
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => scratch.close()))
-      rows.map { case (id, payload) =>
+      closeOnCompletion(rows.map { case (id, payload) =>
         ImageCodec.decodeDims(payload) match {
           case Some(info) =>
             val digest = ImageCodec.decodePngGray(payload, scratch).map { case (_, _, px) =>
@@ -173,7 +193,7 @@ object Multimodal {
               info.width * info.height, digest.orNull)
           case None => DecodedImage(id, "unknown", 0, 0, 0, null)
         }
-      }
+      }, scratch)
     }
   }
 

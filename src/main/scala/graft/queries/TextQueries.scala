@@ -653,8 +653,12 @@ ORDER BY id_a, id_b""") { (s, d) =>
     // r10) — the bound 0.25 sits ~3σ under the worst cell on these
     // 13–21-pair truth frames, while a broken sign aggregate, chunk
     // banding, or distance filter (recall 0) still flips the flag red.
-    // DedupSpec keeps the raw pins (distance-0 word shuffles, unrelated
-    // docs unpaired, drop accounting).
+    // The bound is deliberately loose (unknown corpora have genuine
+    // boundary pairs); regressions a loose bound can't see — e.g. one
+    // broken band of four — are caught by DedupSpec's measured-recall pin
+    // (sf0.001 recall >= 0.6 vs 0.722 recorded; ADVICE r10). DedupSpec
+    // also keeps the raw pins (distance-0 word shuffles, unrelated docs
+    // unpaired, drop accounting).
     Q("q_dedup_simhash",
       """WITH grams AS (
   SELECT doc_id, list_distinct(

@@ -309,4 +309,40 @@ class DedupSpec extends SparkSpec {
     assert(rows(1L) == Seq("one two"))
     assert(rows(2L) == Seq("one"))
   }
+
+  test("oracle-harness SFs plant non-empty truth; measured recall near recorded") {
+    // ADVICE r10 (two items). (a) withPairRecallFlag is vacuously TRUE on
+    // an EMPTY truth frame — zero declared rows would pass the driver's
+    // hash gate while a dead candidate path went unchecked. Guard every SF
+    // the oracle harness actually runs (sf0.01 Verify, sf0.1 Bench,
+    // sf0.001 specs): each must plant window truth pairs, keeping the
+    // flag's trip-wire armed.
+    def truthAt(sf: String) = Dedup.exactJaccardWindowPairs(
+      spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+        .select(col("doc_id").as("id"), col("text")),
+      tau = 0.5, window = 200)
+    Seq("0.01", "0.1").foreach { sf =>
+      assert(truthAt(sf).limit(2).count() == 2,
+        s"sf$sf truth frame must plant >=2 window pairs")
+    }
+    // (b) the declared simhash bound (0.25) is deliberately loose for
+    // unknown corpora, so a regression that halves recall keeps the query
+    // flag green. Pin MEASURED recall on this corpus near its recorded
+    // value instead (DedupRecallProbe r10: minhash 1.0, simhash 0.722 at
+    // sf0.001) — a broken band/chunk moves these; the loose bound stays
+    // for corpora with genuine boundary pairs.
+    val truth = truthAt("0.001").select("id_a", "id_b").localCheckpoint()
+    val nTruth = truth.count()
+    assert(nTruth >= 2, "sf0.001 truth frame must plant >=2 window pairs")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    def recall(cand: org.apache.spark.sql.DataFrame): Double =
+      truth.join(cand.select("id_a", "id_b").filter(
+          col("id_b") - col("id_a") <= 200),
+        Seq("id_a", "id_b"), "left_semi").count().toDouble / nTruth
+    val mh = recall(Dedup.minhashPairs(docs, threshold = 0.5))
+    val sh = recall(Dedup.simhashPairs(docs, maxDist = 3))
+    assert(mh >= 0.9, s"minhash recall $mh regressed from recorded 1.0")
+    assert(sh >= 0.6, s"simhash recall $sh regressed from recorded 0.722")
+  }
 }

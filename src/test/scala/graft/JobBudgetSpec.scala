@@ -34,6 +34,15 @@ class JobBudgetSpec extends SparkSpec {
     "q_sample_mixture" -> 7,
     "q_text_tfidf" -> 9)
 
+  /** Ceilings include AQE stage jobs, so they are Spark-version- and
+    * AQE-heuristic-sensitive (ADVICE r10): a patch upgrade can legally add
+    * a stage job with no repo edit. The slack absorbs that noise while a
+    * REAL regression — an eager checkpoint or an unfused census, always
+    * ≥3 jobs in the measured history — still trips the pin. On a
+    * deliberate pass-structure change, re-record the table, not the slack.
+    */
+  private val slack = 2
+
   test("census/probe-bearing queries launch no more jobs than recorded") {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -54,7 +63,8 @@ class JobBudgetSpec extends SparkSpec {
           .write.format("noop").mode("overwrite").save()
         (name, (drained() - j0).toInt, b)
       }
-      val over = counts.collect { case (n, j, b) if j > b => s"$n: $j jobs > budget $b" }
+      val over = counts.collect { case (n, j, b) if j > b + slack =>
+        s"$n: $j jobs > budget $b + slack $slack" }
       assert(over.isEmpty,
         s"""job budgets exceeded: ${over.mkString("; ")}
            |all counts: ${counts.map { case (n, j, _) => s"$n=$j" }.mkString(", ")}""".stripMargin)
