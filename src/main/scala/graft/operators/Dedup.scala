@@ -219,10 +219,11 @@ object Dedup {
     // shingle subplan would otherwise execute three times. The
     // `materialize = false` arm recomputes the shingle subplan per
     // consumer instead; it exists for the disk-posture A/B (VERDICT r10
-    // item 4: the checkpoint doubles the gram rows' disk footprint at
-    // sf100 — ~12 GB of block files on top of the join's own spill).
-    // Measured at sf100 (TruthFrameDiskProbe, BASELINE.md r11): see the
-    // recorded cells before flipping the default.
+    // item 4). Measured at sf100 (TruthFrameDiskProbe, BASELINE.md r11):
+    // recompute is 1.7× the wall (290 vs 170 s best) at IDENTICAL peak
+    // local-dir bytes (~21.5 GB both arms — the shingle shuffle's sort
+    // spill dominates, not the checkpoint blocks), so the checkpoint
+    // stays the default; budget ~4.4 GB scratch per 1 M docs.
     val rowsPlan = shingleHashRows(docs)
     val rows = if (materialize) rowsPlan.localCheckpoint(false) else rowsPlan
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
