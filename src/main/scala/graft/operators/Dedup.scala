@@ -141,49 +141,52 @@ object Dedup {
         .otherwise(array(array_join(ws, " "))))
   }
 
-  /** (id, mh) signature table. Words explode to rows and are hashed ONCE;
-    * a shingle's hash is the fixed-width combination of the 3 consecutive
-    * word hashes (lead() window), so no shingle strings are ever built —
-    * the HOF string-building variant ran interpreted and dominated the
-    * pipeline. The numPerm signature slots are min-aggregates of cheap
-    * fixed-width re-hashes xxhash64(h, p). (Linear permutations a_p*h+b_p
-    * would be cheaper still but need wrap-around multiplication, which
-    * ANSI mode — Spark 4's default — rejects.) One shuffle on id feeds the
-    * window, the distinct, and the final aggregate (partitioning is
-    * preserved across all three) — the shape that survives 100 TB.
+  /** (id, g): per-doc DISTINCT gram-hash arrays, computed entirely
+    * row-locally — ZERO shuffles (r11; replaces the explode +
+    * lead()-window shape, which shuffled EVERY gram occurrence by id
+    * just to line up consecutive word hashes — the ~21.5 GB sort spill
+    * of the sf100 truth-frame cell was exactly that exchange). The gram
+    * pass is the native [[graft.functions.TextExprs.gramHashes]] kernel:
+    * each word hashed once, a gram's hash the fixed-width combination of
+    * the 3 consecutive word hashes, no gram STRING ever built, one tight
+    * codegen'd loop per doc (the HOF transform()/element_at formulation
+    * kept the values but ran interpreted — measured 2–12× slower
+    * depending on how the optimizer duplicated it; rationale at the
+    * kernel). Values are IDENTICAL to the window shape's (same xxhash64
+    * compositions; GramHashSpec pins the per-row equality, PropertySpec
+    * the brute-force jaccard, and all oracle rows are unchanged): docs
+    * >= 3 words get their word trigram hashes, shorter docs one
+    * whole-text gram (mirrors [[shingles]]' degenerate case), null/blank
+    * texts are absent — matching the old aggregate's no-rows-no-group
+    * domain. Hashing is injective-in-practice (64-bit), so set sizes and
+    * intersections over hashes equal those over the gram strings.
+    *
+    * The blank filter runs on trim(text) — cheap and pushdown-safe; a
+    * size(g) > 0 filter instead would let predicate pushdown substitute
+    * the gram kernel into the filter and evaluate it twice per row.
     */
-  /** Distinct (id, h) shingle-hash rows: words explode, each is hashed
-    * once, a shingle's hash combines the 3 consecutive word hashes via
-    * lead() windows — no shingle strings are ever materialized (the HOF
-    * string-building variant ran interpreted and dominated the pipeline).
-    * Hashing is injective-in-practice (64-bit), so set sizes/intersections
-    * over hashes equal those over the underlying shingle strings.
-    */
-  def shingleHashRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("id")
-    val seq3 = byDoc.orderBy("pos")
-    docs
-      .select(col("id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"), xxhash64(col("w")).as("wh"))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("l1", lead("wh", 1).over(seq3))
-      .withColumn("l2", lead("wh", 2).over(seq3))
-      // shingle rows: starts 0..n-3; docs shorter than one shingle keep a
-      // single whole-text row (mirrors shingles()'s degenerate case)
-      .filter(col("pos") <= col("n") - 3 ||
-        (col("n") < 3 && col("pos") === 0))
-      .select(col("id"),
-        when(col("n") >= 3, xxhash64(col("wh"), col("l1"), col("l2")))
-          .when(col("n") === 2, xxhash64(col("wh"), col("l1")))
-          .otherwise(xxhash64(col("wh"))).as("h"))
-      .dropDuplicates("id", "h")
-  }
-
-  /** Per-doc distinct gram-hash set, for exact Jaccard over hashed grams. */
   def gramHashSets(docs: DataFrame): DataFrame =
-    shingleHashRows(docs).groupBy(col("id"))
-      .agg(collect_set(col("h")).as("g"))
+    docs.filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("id"),
+        graft.functions.TextExprs.gramHashes(col("text")).as("g"))
+
+  /** Distinct (id, h) gram-hash rows — the gram kernel exploded. The
+    * generator input is the EXPRESSION, not a bound alias: explode over
+    * an aliased gram column makes InferFiltersFromGenerate add a
+    * size>0/isnotnull filter whose pushdown substitutes the whole gram
+    * subtree into the filter — evaluating the kernel twice per row (and
+    * it put the O(n²) HOF form in front of the parquet scan as a
+    * DataFilter; the rule skips inference for non-cheap generator
+    * inputs). The explode is row-local (a doc's grams never leave their
+    * input partition), so downstream per-doc aggregates
+    * ([[minhashSignatures]]) partial-aggregate each doc to ONE row
+    * map-side and the only shuffle left is doc-sized, not
+    * gram-occurrence-sized.
+    */
+  def shingleHashRows(docs: DataFrame): DataFrame =
+    docs.filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("id"),
+        explode(graft.functions.TextExprs.gramHashes(col("text"))).as("h"))
 
   /** Exact word-trigram Jaccard pairs inside a doc-id blocking window —
     * the SQL-expressible exact near-dup shape (`q_dedup_ngram_jaccard`,
@@ -214,19 +217,24 @@ object Dedup {
     */
   def exactJaccardWindowPairs(docs: DataFrame, tau: Double,
       window: Int, materialize: Boolean = true): DataFrame = {
-    // materialized ONCE (lazy): the distinct (id, gram-hash) rows feed
-    // the sizes aggregate and both join sides — the window-function
-    // shingle subplan would otherwise execute three times. The
-    // `materialize = false` arm recomputes the shingle subplan per
-    // consumer instead; it exists for the disk-posture A/B (VERDICT r10
-    // item 4). Measured at sf100 (TruthFrameDiskProbe, BASELINE.md r11):
-    // recompute is 1.7× the wall (290 vs 170 s best) at IDENTICAL peak
-    // local-dir bytes (~21.5 GB both arms — the shingle shuffle's sort
-    // spill dominates, not the checkpoint blocks), so the checkpoint
-    // stays the default; budget ~4.4 GB scratch per 1 M docs.
-    val rowsPlan = shingleHashRows(docs)
-    val rows = if (materialize) rowsPlan.localCheckpoint(false) else rowsPlan
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // What's materialized ONCE (lazy) is the PER-DOC GRAM ARRAY frame
+    // (r11) — one row per doc, array-encoded longs, no id repeated per
+    // gram — not the exploded (id, h) rows the r10 form checkpointed.
+    // Both join sides and the sizes projection read it; consumers
+    // explode ROW-LOCALLY from the checkpoint, so the gram-occurrence
+    // shuffle that dominated the sf100 cell (the r10 shape's lead()-
+    // window needed every gram row shuffled by id BEFORE the checkpoint;
+    // TruthFrameDiskProbe measured ~21.5 GB of sort spill that was
+    // exactly that exchange) is gone, and `sizes` is a plain size(g)
+    // projection — the per-doc count aggregate and its shuffle with it.
+    // The `materialize = false` arm recomputes the gram subplan per
+    // consumer (the disk-posture A/B, VERDICT r10 item 4; its r10
+    // numbers: recompute 1.7× the wall at identical peak disk — re-run
+    // post-rewrite in BASELINE.md r11).
+    val arrPlan = gramHashSets(docs)
+    val arr = if (materialize) arrPlan.localCheckpoint(false) else arrPlan
+    val sizes = arr.select(col("id"), size(col("g")).as("n"))
+    val rows = arr.select(col("id"), explode(col("g")).as("h"))
     val blk = floor(col("id") / window).cast("long")
     // a-side rows carry (own block, next block): pair (a,b) with
     // a < b ≤ a+window has floor(b/w) ∈ {floor(a/w), floor(a/w)+1} and
@@ -273,6 +281,16 @@ object Dedup {
     marked.drop("__hit").crossJoin(broadcast(flag))
   }
 
+  /** (id, mh) signature table. The numPerm signature slots are
+    * min-aggregates of cheap fixed-width re-hashes xxhash64(h, p) over
+    * the exploded gram-hash rows — a codegen'd HashAggregate, NOT an
+    * in-array HOF fold (64 interpreted transform() passes per doc were
+    * measured ~12× slower than the aggregate). Since r11 the gram rows
+    * are row-local ([[shingleHashRows]] explodes per-doc arrays — no
+    * window shuffle feeds them), so partial aggregation folds each doc
+    * to one signature row map-side and the only exchange left in the
+    * whole signature pass is doc-sized.
+    */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame =
     shingleHashRows(docs).groupBy(col("id"))
       .agg(array((0 until numPerm).map(p =>
