@@ -53,6 +53,41 @@ object Bench {
     ms
   }
 
+  /** Memory-bandwidth marker (r11): time a fixed number of sequential
+    * passes over a fixed array that dwarfs the last-level cache, published
+    * as `membw_ms` beside `spin_ms`. Motivation, measured on the r11 host
+    * change: totals ran 15–30% HIGHER at ~10% FASTER spin — the host's
+    * bottleneck had moved off the CPU onto the memory system, and the
+    * artifact carried no signal to show it (spin normalization actually
+    * over-corrected the wrong way). Shuffle-heavy Spark work is bandwidth-
+    * bound far more than it is ALU-bound, so a run on a bandwidth-starved
+    * host is identifiable only with this second marker. Measured quiet on
+    * the r11 host: ~160–175 ms (passes × 256 MB = 1 GB traversed ≈ 6 GB/s
+    * single-threaded — weak, and exactly the deficit the totals showed);
+    * concurrent 16-thread load inflated it to ~335 ms. Contention or a
+    * slower memory system inflates it proportionally. Not folded into
+    * `value_normalized` — two correlated markers with unknown weights
+    * would manufacture precision; the raw pair is what adjudication needs.
+    */
+  private[graft] def membwMarkerMs(passes: Int = 4,
+      words: Int = 32 << 20): Double = {
+    val a = new Array[Long](words) // 32 M longs = 256 MB >> any LLC
+    var i = 0
+    while (i < words) { a(i) = i.toLong; i += 1 }
+    var s = 0L
+    val t0 = System.nanoTime()
+    var p = 0
+    while (p < passes) {
+      var j = 0
+      while (j < words) { s += a(j); j += 1 }
+      p += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    // publish the fold so the JIT cannot dead-code the traversal
+    if (s == 42L) System.err.println("membw collision")
+    ms
+  }
+
   /** Spin-normalized total (VERDICT r6 item 4): `value × (1000/spin_ms)`,
     * scaling the measured wall total by how far the host's single-thread
     * CPU marker sat from its uncontended ~1 s reference — so cross-round
@@ -97,9 +132,10 @@ object Bench {
     * long line's share down.
     */
   private[graft] def compactLine(total: Double, nq: Int, nretried: Int,
-      spinMs: Double, sf: String): String =
+      spinMs: Double, membwMs: Double, sf: String): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
       s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
+      s""""membw_ms":${fmt(membwMs)},""" +
       s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},""" +
       // sfDir is environment input — escape it, or a quote/backslash in
       // the path breaks the very line that must always stay parseable
@@ -117,6 +153,8 @@ object Bench {
     // nothing else in this JVM competes with it
     spinMarkerMs(1000000L)
     val spinMs = spinMarkerMs()
+    membwMarkerMs(passes = 1, words = 1 << 20) // JIT warm on a 8 MB array
+    val membwMs = membwMarkerMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle sizing that survives a scale-up (r5): a FIXED partition count
     // equal to the core count is right at sf0.1 (one wave, no scheduling
@@ -313,7 +351,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
@@ -322,14 +360,15 @@ object Bench {
     // the single budgeted line plus sbt's prefix chatter overflowed the
     // window), then the per-query detail line, budgeted so compact +
     // detail + sbt's trailing "[success] Total time ..." still fit.
-    println(compactLine(total, results.size, retriedNames.size, spinMs, sfDir))
+    println(compactLine(total, results.size, retriedNames.size, spinMs,
+      membwMs, sfDir))
     val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     // spin_ms + the spin-normalized total ride the suffix so they survive
     // the driver's tail window even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>

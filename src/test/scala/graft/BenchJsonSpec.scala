@@ -62,11 +62,12 @@ class BenchJsonSpec extends AnyFunSuite {
     // because the single budgeted line overflowed the driver's 2 KB tail.
     // The compact line must carry the graded fields in ~150 chars, and
     // compact + budgeted detail + sbt's trailing "[success]" must fit.
-    val line = Bench.compactLine(73.299, 111, 2, 757.4, "/root/testdata/sf0.1")
-    assert(line.length < 200, s"compact line too long: ${line.length}")
+    val line = Bench.compactLine(73.299, 111, 2, 757.4, 63.1,
+      "/root/testdata/sf0.1")
+    assert(line.length < 220, s"compact line too long: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\",\"value\":73.299,"))
     for (k <- Seq("\"nq\":111", "\"nretried\":2", "\"spin_ms\":757.400",
-        "\"value_normalized\":", "\"sf\":"))
+        "\"membw_ms\":63.100", "\"value_normalized\":", "\"sf\":"))
       assert(line.contains(k), s"missing $k in $line")
     assert(line.count(_ == '"') % 2 == 0 && line.last == '}')
     // window arithmetic: both lines + sbt tail inside 2000 chars
@@ -81,5 +82,20 @@ class BenchJsonSpec extends AnyFunSuite {
     val large = Bench.spinMarkerMs(200000000L)
     assert(small > 0.0 && large > 0.0)
     assert(large > small * 2, s"spin not proportional to work: $small vs $large")
+  }
+
+  test("memory-bandwidth marker measures fixed traversal work and scales with it") {
+    // r11: the host change showed totals can inflate 15-30% at a FASTER
+    // spin — the second marker must expose a bandwidth-starved host from
+    // the artifact alone. Same proportionality contract as the spin: 8x
+    // the passes over the same array takes materially longer (loose
+    // factor, spec runs on contended hosts too). Small array here — the
+    // spec should not allocate 256 MB; main() uses the default size.
+    val words = 4 << 20 // 32 MB
+    val small = Bench.membwMarkerMs(passes = 2, words = words)
+    val large = Bench.membwMarkerMs(passes = 16, words = words)
+    assert(small > 0.0 && large > 0.0)
+    assert(large > small * 2,
+      s"membw not proportional to work: $small vs $large")
   }
 }
