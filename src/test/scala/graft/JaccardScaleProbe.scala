@@ -17,16 +17,11 @@ object JaccardScaleProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("tmp/sf1", "tmp/sf10", "tmp/sf100")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // bench-config session sized to the LARGEST dir measured (r11: the
+    // default-AQE session coalesced the join shuffle into overpacked
+    // partitions — 88.9 s for a subplan the bench config runs inside a
+    // 47–51 s query; probe cells must be bench-comparable)
+    val spark = ProbeSession.build(dirs.last, "graft-jaccardscale")
     Bench.spinMarkerMs(1000000L)
     val spin = Bench.spinMarkerMs()
     dirs.foreach { d =>

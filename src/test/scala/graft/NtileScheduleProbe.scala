@@ -35,20 +35,9 @@ object NtileScheduleProbe {
     System.setProperty("graft.percentiles.trace", "true")
     Bench.spinMarkerMs(1000000L)
     val spinMs = Bench.spinMarkerMs()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val initParts = Bench.dataSizedInitParts(sfDir, cpus.toLong).toString
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val initParts =
+      Bench.dataSizedInitParts(sfDir, ProbeSession.cpus.toLong).toString
+    val spark = ProbeSession.build(sfDir, "graft-ntilesched")
     println(f"[ntilesched] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_type"), col("value"))

@@ -49,19 +49,12 @@ object TruthFrameDiskProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "tmp/sf100"
     val runsPerArm = if (args.length > 1) args(1).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val localDir = java.nio.file.Files
       .createTempDirectory("graft-truthframe-probe")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", localDir.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // bench-config session (r11, ProbeSession) + the dedicated local dir
+    // the peak-bytes poller watches
+    val spark = ProbeSession.build(dir, "graft-truthframe-probe",
+      Map("spark.local.dir" -> localDir.toString))
     Bench.spinMarkerMs(1000000L)
     val spin = Bench.spinMarkerMs()
     val docs = graft.sources.Tables.documents(spark, dir)
