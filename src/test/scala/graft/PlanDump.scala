@@ -68,6 +68,33 @@ object PlanDump {
       }
       sb.append("```\n")
     }
+    // The truth-frame subplan (inside six paired queries) is invisible
+    // above: the production queries lazy-checkpoint it, so their dumps
+    // start at Scan ExistingRDD. Dump the materialize=false arm once so
+    // the audit can SEE the r11 shape: a zero-shuffle gram pass (the
+    // native gram_hashes kernel inside a plain Project — no Window, no
+    // Exchange before the join) feeding the inverted-index self-join on
+    // (gram hash, id block) with the window folded into the key.
+    sb.append("\n## truth frame: Dedup.exactJaccardWindowPairs " +
+      "(materialize=false arm — the checkpointed subplan the six paired " +
+      "queries share)\n\n```\n")
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("id"), col("text"))
+      val plan = graft.operators.Dedup
+        .exactJaccardWindowPairs(docs, tau = 0.5, window = 200,
+          materialize = false)
+        .queryExecution.executedPlan.toString
+      plan.split("\n").foreach { l =>
+        val keep = Seq("Join", "Exchange", "HashAggregate", "ObjectHashAggregate",
+          "SortAggregate", "Window", "Generate", "FileScan", "Scan", "TakeOrdered",
+          "CollectMetrics", "Expand", "WindowGroupLimit", "BatchEvalPython", "Sort ")
+          .exists(l.contains)
+        if (keep) sb.append(l.take(160)).append("\n")
+      }
+    }
+    sb.append("```\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md")
     spark.stop()
