@@ -77,7 +77,18 @@ object PlanDump {
     // (gram hash, id block) with the window folded into the key.
     sb.append("\n## truth frame: Dedup.exactJaccardWindowPairs " +
       "(materialize=false arm — the checkpointed subplan the six paired " +
-      "queries share)\n\n```\n")
+      "queries share)\n\nTwo artifacts of THIS dump arm, not the shipped " +
+      "default: (1) at sf0.1 the\ninverted-index self-join plans as a " +
+      "BroadcastHashJoin (the gram-row side's\nestimated stats are tiny " +
+      "here); at scale AQE re-plans it to a shuffle join —\nthe sf100 " +
+      "probe measured that exchange, ~16 GB spill. (2) join-constraint\n" +
+      "inference pushes an always-true isnotnull(size(gram_hashes(text)))" +
+      " into the\nsizes-branch scan, double-evaluating the kernel — only " +
+      "in the recompute arm;\nthe production materialize=true arm reads " +
+      "sizes from the checkpoint (part of\nwhy recompute measured 280 vs " +
+      "217 s at sf100). What the dump is FOR: the gram\npass is a plain " +
+      "Project+Generate chain — zero Window, zero Exchange before\nthe " +
+      "join (the r10 shape shuffled every gram occurrence here).\n\n```\n")
     locally {
       import org.apache.spark.sql.functions.col
       val docs = graft.sources.Tables.documents(spark, sfDir)
