@@ -123,7 +123,8 @@ object Bench {
   }
 
   /** Ultra-compact whole-run record (VERDICT r7 item 6): total, query
-    * count, retry count, spin marker, normalized total — ~120 chars, no
+    * count, retry count, spin + membw markers, normalized total — ~170
+    * chars (BenchJsonSpec bounds it at 220), no
     * per-query entries. Printed FIRST so the driver's 2 KB stdout tail
     * always captures one machine-readable line even when the per-query
     * line plus sbt's trailing "[success]" fills the rest of the window
@@ -141,9 +142,10 @@ object Bench {
       // the path breaks the very line that must always stay parseable
       s""""sf":${jsonString(sf)}}"""
 
-  /** Character budget for the per-query stdout line: compact line (~140)
-    * + this + sbt's "[success] Total time ..." tail (~40) must fit the
-    * driver's 2000-char window with margin.
+  /** Character budget for the per-query stdout line: compact line (~170
+    * post-membw, bounded 220 by spec) + this + sbt's "[success] Total
+    * time ..." tail (~40) must fit the driver's 2000-char window with
+    * margin.
     */
   private[graft] val perQueryBudget = 1500
 

@@ -17,14 +17,18 @@ object JaccardScaleProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("tmp/sf1", "tmp/sf10", "tmp/sf100")
-    // bench-config session sized to the LARGEST dir measured (r11: the
-    // default-AQE session coalesced the join shuffle into overpacked
-    // partitions — 88.9 s for a subplan the bench config runs inside a
-    // 47–51 s query; probe cells must be bench-comparable)
-    val spark = ProbeSession.build(dirs.last, "graft-jaccardscale")
     Bench.spinMarkerMs(1000000L)
     val spin = Bench.spinMarkerMs()
+    // one bench-config session PER dir (r11): the initial-partition count
+    // is sized to the directory being measured, exactly as Bench.main
+    // sizes it for its SPARK_GRAFT_SF_DIR — a shared session would run
+    // every cell but one under another SF's start count (the default-AQE
+    // session this replaced coalesced the join shuffle into overpacked
+    // partitions: 88.9 s for a subplan the bench config runs inside
+    // 47–51 s queries). Session startup (~2 s) is noise at these cells'
+    // scale and outside the timed region.
     dirs.foreach { d =>
+      val spark = ProbeSession.build(d, "graft-jaccardscale")
       val docs = graft.sources.Tables.documents(spark, d)
         .select(col("doc_id").as("id"), col("text"))
       val n = docs.count()
@@ -40,7 +44,7 @@ object JaccardScaleProbe {
       println(f"[jaccardscale] $d docs=$n pairs=${times.head._2} " +
         f"best=${times.map(_._1).min}%.1f s " +
         f"(all: ${times.map(t => f"${t._1}%.1f").mkString("/")}) spin=$spin%.0f")
+      spark.stop()
     }
-    spark.stop()
   }
 }

@@ -35,10 +35,10 @@ object NtileScheduleProbe {
     System.setProperty("graft.percentiles.trace", "true")
     Bench.spinMarkerMs(1000000L)
     val spinMs = Bench.spinMarkerMs()
-    val initParts =
-      Bench.dataSizedInitParts(sfDir, ProbeSession.cpus.toLong).toString
+    // initParts is derived and logged by ProbeSession (recomputing it here
+    // would re-walk the whole data directory)
     val spark = ProbeSession.build(sfDir, "graft-ntilesched")
-    println(f"[ntilesched] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
+    println(f"[ntilesched] sfDir=$sfDir spin_ms=$spinMs%.0f")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)

@@ -30,10 +30,10 @@ object PercentileDecadeProbe {
     val sfDir = args.headOption.getOrElse("tmp/sf1000")
     Bench.spinMarkerMs(1000000L)
     val spinMs = Bench.spinMarkerMs()
-    val initParts =
-      Bench.dataSizedInitParts(sfDir, ProbeSession.cpus.toLong).toString
+    // initParts is derived and logged by ProbeSession (recomputing it here
+    // would re-walk the whole data directory)
     val spark = ProbeSession.build(sfDir, "graft-pctdecade")
-    println(f"[pctdecade] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
+    println(f"[pctdecade] sfDir=$sfDir spin_ms=$spinMs%.0f")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_type"), col("value"), col("event_id"))
     println(s"[pctdecade] events rows: ${ev.count()}") // warm footers/IO

@@ -9,6 +9,19 @@ import graft.queries.Registry
   * the benched ones).
   */
 object PlanDump {
+  /** Append `plan`'s decisive operator lines (joins, exchanges, aggregates,
+    * windows, generators, scans) to `sb` — the ONE keep-list both the named
+    * queries and the truth-frame section filter through.
+    */
+  private def appendFilteredPlan(sb: StringBuilder, plan: String): Unit = {
+    val keep = Seq("Join", "Exchange", "HashAggregate", "ObjectHashAggregate",
+      "SortAggregate", "Window", "Generate", "FileScan", "Scan", "TakeOrdered",
+      "CollectMetrics", "Expand", "WindowGroupLimit", "BatchEvalPython", "Sort ")
+    plan.split("\n").foreach { l =>
+      if (keep.exists(l.contains)) sb.append(l.take(160)).append("\n")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = "32"
@@ -59,13 +72,7 @@ object PlanDump {
       val q = Registry.all.find(_.name == n).get
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       sb.append(s"\n## $n\n\n```\n")
-      plan.split("\n").foreach { l =>
-        val keep = Seq("Join", "Exchange", "HashAggregate", "ObjectHashAggregate",
-          "SortAggregate", "Window", "Generate", "FileScan", "Scan", "TakeOrdered",
-          "CollectMetrics", "Expand", "WindowGroupLimit", "BatchEvalPython", "Sort ")
-          .exists(l.contains)
-        if (keep) sb.append(l.take(160)).append("\n")
-      }
+      appendFilteredPlan(sb, plan)
       sb.append("```\n")
     }
     // The truth-frame subplan (inside six paired queries) is invisible
@@ -97,13 +104,7 @@ object PlanDump {
         .exactJaccardWindowPairs(docs, tau = 0.5, window = 200,
           materialize = false)
         .queryExecution.executedPlan.toString
-      plan.split("\n").foreach { l =>
-        val keep = Seq("Join", "Exchange", "HashAggregate", "ObjectHashAggregate",
-          "SortAggregate", "Window", "Generate", "FileScan", "Scan", "TakeOrdered",
-          "CollectMetrics", "Expand", "WindowGroupLimit", "BatchEvalPython", "Sort ")
-          .exists(l.contains)
-        if (keep) sb.append(l.take(160)).append("\n")
-      }
+      appendFilteredPlan(sb, plan)
     }
     sb.append("```\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

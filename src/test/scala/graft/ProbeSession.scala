@@ -11,13 +11,19 @@ import org.apache.spark.sql.SparkSession
   * a 47–51 s composed query — the defaults overpack shuffle partitions,
   * which this host's ~6 GB/s single-thread memory bandwidth punishes).
   *
-  * Mirrors [[Bench.main]]'s session exactly: local[SPARK_GRAFT_CPUS|32]
-  * (probes historically defaulted to 32 where Bench.main defaults to 4
-  * under the driver's explicit env — keep 32), shuffle.partitions = cores,
-  * AQE + coalesce from [[Bench.dataSizedInitParts]] of the measured
-  * directory, 32 MB advisory (the r6-measured optimum), UTC, nanos-as-long,
-  * graft extensions, no UI. `extra` lands last so a probe can still pin
-  * its own local dir / state-store provider on top.
+  * Mirrors [[Bench.main]]'s session: local[SPARK_GRAFT_CPUS|32] (probes
+  * historically defaulted to 32 where Bench.main defaults to 4 under the
+  * driver's explicit env — keep 32), shuffle.partitions = cores, AQE +
+  * coalesce from [[Bench.dataSizedInitParts]] of the measured directory,
+  * 32 MB advisory (the r6-measured optimum), UTC, nanos-as-long, graft
+  * extensions, no UI — and the SAME env overrides Bench.main honors
+  * (SPARK_GRAFT_SHUFFLE_INIT, SPARK_GRAFT_ADVISORY, SPARK_GRAFT_CONF), so
+  * a documented A/B exported for a Bench-vs-probe pair applies to BOTH
+  * arms. The derived initParts is logged once here — probes must not
+  * recompute it (each call re-walks the data directory). `extra` lands
+  * last so a probe can still pin its own local dir / state-store
+  * provider on top (it wins over SPARK_GRAFT_CONF too — probe-structural
+  * settings like the poller's local dir must not be overridable).
   */
 object ProbeSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +31,9 @@ object ProbeSession {
   def build(sfDir: String, appName: String = "graft-probe",
       extra: Map[String, String] = Map.empty): SparkSession = {
     val c = cpus
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT",
+      Bench.dataSizedInitParts(sfDir, c.toLong).toString)
+    println(s"[probesession] $appName sfDir=$sfDir cpus=$c initParts=$initParts")
     val builder = SparkSession.builder()
       .master(s"local[$c]")
       .appName(appName)
@@ -32,12 +41,19 @@ object ProbeSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Bench.dataSizedInitParts(sfDir, c.toLong).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
+        initParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
     extra.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

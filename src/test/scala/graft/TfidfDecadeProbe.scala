@@ -18,10 +18,10 @@ object TfidfDecadeProbe {
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
     Bench.spinMarkerMs(1000000L)
     val spinMs = Bench.spinMarkerMs()
-    val initParts =
-      Bench.dataSizedInitParts(sfDir, ProbeSession.cpus.toLong).toString
+    // initParts is derived and logged by ProbeSession (recomputing it here
+    // would re-walk the whole data directory)
     val spark = ProbeSession.build(sfDir, "graft-tfidfdecade")
-    println(f"[tfidfdecade] sfDir=$sfDir spin_ms=$spinMs%.0f initParts=$initParts")
+    println(f"[tfidfdecade] sfDir=$sfDir spin_ms=$spinMs%.0f")
     val nDocs = graft.sources.Tables.documents(spark, sfDir).count() // warm
     println(s"[tfidfdecade] documents rows: $nDocs")
     // the write action runs its OWN QueryExecution — df.queryExecution
