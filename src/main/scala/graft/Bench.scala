@@ -88,6 +88,183 @@ object Bench {
     ms
   }
 
+  /** Saturated (multi-thread) memory-bandwidth marker (VERDICT r11 item
+    * 5): the same fixed traversal as [[membwMarkerMs]] run on a FIXED 16
+    * threads at once over one shared 256 MB array, each thread starting
+    * at its own stride offset and wrapping, so the concurrent streams
+    * stay ~16 MB apart and cannot serve each other from the LLC.
+    * Published as `membw_mt_ms` beside `membw_ms`: the single-stream
+    * figure spots a weak memory SYSTEM per stream, but Spark's 32
+    * concurrent tasks stress AGGREGATE bandwidth — measured r11, 16
+    * threads of load inflated the single-thread marker ~2×, i.e. hosts
+    * can be weak-single-stream but healthy-aggregate or vice versa, and
+    * only the pair separates them. Thread count is fixed (not
+    * availableProcessors) so the marker's work is host-invariant like
+    * the other two. Aggregate GB/s ≈ 16 × 0.25 GB / (membw_mt_ms/1000).
+    */
+  private[graft] def membwMtMarkerMs(threads: Int = 16, passes: Int = 1,
+      words: Int = 32 << 20): Double = {
+    val a = new Array[Long](words)
+    var i = 0
+    while (i < words) { a(i) = i.toLong; i += 1 }
+    val sum = new java.util.concurrent.atomic.AtomicLong
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until threads).map { t =>
+      val th = new Thread { override def run(): Unit = {
+        val off = (words.toLong * t / threads).toInt
+        gate.await()
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var j = off
+          while (j < words) { s += a(j); j += 1 }
+          j = 0
+          while (j < off) { s += a(j); j += 1 }
+          p += 1
+        }
+        sum.addAndGet(s)
+      } }
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    val t0 = System.nanoTime()
+    gate.countDown()
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    // publish the fold so the JIT cannot dead-code the traversals
+    if (sum.get == 42L) System.err.println("membw_mt collision")
+    ms
+  }
+
+  /** Per-query adaptive-retry priors (VERDICT r11 item 2): the fixed 4 s
+    * retry floor stopped discriminating once the paired dedup family's
+    * HEALTHY steady state crossed it (3.9–5.9 s at sf0.1) — every driver
+    * run re-timed 2–4 fine queries and BASELINE.md had to adjudicate
+    * "nretried 2–4" as the expected artifact shape. The threshold is now
+    * per-query: `max(floor, 2 × prior(q))`, where `prior(q)` is the
+    * query's recorded best cell from (a) `target/bench_full.json` — the
+    * same-workspace history, freshest — and/or (b) the committed
+    * reference resource `graft/bench-prior.json`; when both carry a
+    * query the SMALLER prior wins (robust to one poisoned record). A
+    * prior applies only when its `sf` basename matches the current
+    * run's (an sf0.001 smoke must not inherit sf0.1 cells), and is
+    * scaled UP by `membw_now / membw_recorded` when the current host's
+    * bandwidth marker is weaker than the recording host's (the r10→r11
+    * host flip inflated shuffle cells 2.5–4× at healthy CPU — an
+    * unscaled fast-host prior would re-open the false-retry class on
+    * the next weak host). No recorded prior ⇒ the floor alone, the old
+    * behavior. An EXPLICIT SPARK_GRAFT_RETRY_SEC disables priors
+    * entirely: the experimenter's A/B threshold applies verbatim
+    * (forcing retries for debugging needs exactly that).
+    */
+  private[graft] def parsePriors(json: String, sfBase: String,
+      membwNow: Double): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val sf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+      if (sf.split('/').last != sfBase) Map.empty
+      else {
+        val ref = Option(root.get("membw_ms")).map(_.asDouble(0.0)).getOrElse(0.0)
+        val scale = if (ref > 0.0 && membwNow > ref) membwNow / ref else 1.0
+        val qs = root.get("queries")
+        if (qs == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = qs.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue.asDouble(-1.0)
+            if (v > 0.0) b += e.getKey -> v * scale
+          }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The merged prior map for a run: workspace history ∧ committed
+    * reference, per-query min (doc at [[parsePriors]]).
+    */
+  private[graft] def loadPriors(sfDir: String, membwNow: Double): Map[String, Double] = {
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val hist =
+      try {
+        val p = java.nio.file.Paths.get("target/bench_full.json")
+        if (java.nio.file.Files.exists(p))
+          parsePriors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+            sfBase, membwNow)
+        else Map.empty[String, Double]
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val res =
+      try {
+        val in = getClass.getResourceAsStream("/graft/bench-prior.json")
+        if (in == null) Map.empty[String, Double]
+        else
+          try parsePriors(new String(in.readAllBytes(), "UTF-8"), sfBase, membwNow)
+          finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    (hist.keySet ++ res.keySet).iterator.map { k =>
+      k -> math.min(hist.getOrElse(k, Double.MaxValue),
+        res.getOrElse(k, Double.MaxValue))
+    }.toMap
+  }
+
+  /** Deny-filter for the one benign ERROR stack that kept polluting the
+    * driver artifact's 2000-char stdout tail (VERDICT r11 item 3,
+    * reproduced and named this round):
+    *
+    *   ERROR DAGScheduler: Failed to update accumulator N (Unknown class)
+    *   org.apache.spark.SparkException: attempted to access non-existent
+    *   accumulator N  (+ ~10 frames of DAGScheduler.updateAccumulators →
+    *   handleTaskCompletion → EventLoop, repeated once per accumulator)
+    *
+    * Root cause, distinct from the r10 DropStats class (that one is fixed
+    * at the source by the strong-retention ring, `Dedup.retained`): tasks
+    * of an already-finished job — a limit-short-circuited `isEmpty`/
+    * census count, or a cancelled AQE stage — drain their completion
+    * events AFTER the query returned, while the inter-query `System.gc()`
+    * (load-bearing: it releases each query's localCheckpoint blocks, the
+    * q_percentile 4 s→22 s fix) has already collected SPARK'S OWN
+    * per-plan SQL-metric and per-stage task-metric accumulators, which
+    * AccumulatorContext only holds weakly. Those are Spark internals — no
+    * graft-side strong ref can reach the per-stage ones — and the lost
+    * update is metrics-only (correctness paths never read accumulators),
+    * so the honest treatment is to suppress exactly this message and
+    * COUNT the suppressions: the filter denies log events whose message
+    * starts with the literal prefix, bumps `counter`, and stays NEUTRAL
+    * for everything else — a genuine DAGScheduler failure still logs, and
+    * still reaches the artifact through the thrown exception's
+    * [[errorHead]] anyway. main() prints one summary line to stderr at
+    * the end, so the artifact records THAT suppression happened without
+    * 12-line stacks eating the tail window.
+    */
+  private[graft] def installLateAccumFilter(
+      counter: java.util.concurrent.atomic.AtomicLong): Boolean =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      val f = new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        override def filter(e: LogEvent): Filter.Result = {
+          val m = e.getMessage
+          if (m != null && {
+            val s = m.getFormattedMessage
+            s != null && s.startsWith("Failed to update accumulator")
+          }) { counter.incrementAndGet(); Filter.Result.DENY }
+          else Filter.Result.NEUTRAL
+        }
+      }
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      // events route to the most specific LoggerConfig — cover them all
+      cfg.getRootLogger.addFilter(f)
+      cfg.getLoggers.values.forEach(_.addFilter(f))
+      ctx.updateLoggers()
+      true
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] late-accum filter not installed: $e")
+      false
+    }
+
   /** Spin-normalized total (VERDICT r6 item 4): `value × (1000/spin_ms)`,
     * scaling the measured wall total by how far the host's single-thread
     * CPU marker sat from its uncontended ~1 s reference — so cross-round
@@ -123,8 +300,8 @@ object Bench {
   }
 
   /** Ultra-compact whole-run record (VERDICT r7 item 6): total, query
-    * count, retry count, spin + membw markers, normalized total — ~170
-    * chars (BenchJsonSpec bounds it at 220), no
+    * count, retry count, spin + membw + membw_mt markers, normalized
+    * total — ~190 chars (BenchJsonSpec bounds it at 240), no
     * per-query entries. Printed FIRST so the driver's 2 KB stdout tail
     * always captures one machine-readable line even when the per-query
     * line plus sbt's trailing "[success]" fills the rest of the window
@@ -133,17 +310,17 @@ object Bench {
     * long line's share down.
     */
   private[graft] def compactLine(total: Double, nq: Int, nretried: Int,
-      spinMs: Double, membwMs: Double, sf: String): String =
+      spinMs: Double, membwMs: Double, membwMtMs: Double, sf: String): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
       s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
-      s""""membw_ms":${fmt(membwMs)},""" +
+      s""""membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},""" +
       s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},""" +
       // sfDir is environment input — escape it, or a quote/backslash in
       // the path breaks the very line that must always stay parseable
       s""""sf":${jsonString(sf)}}"""
 
-  /** Character budget for the per-query stdout line: compact line (~170
-    * post-membw, bounded 220 by spec) + this + sbt's "[success] Total
+  /** Character budget for the per-query stdout line: compact line (~190
+    * post-membw_mt, bounded 240 by spec) + this + sbt's "[success] Total
     * time ..." tail (~40) must fit the driver's 2000-char window with
     * margin.
     */
@@ -157,6 +334,11 @@ object Bench {
     val spinMs = spinMarkerMs()
     membwMarkerMs(passes = 1, words = 1 << 20) // JIT warm on a 8 MB array
     val membwMs = membwMarkerMs()
+    membwMtMarkerMs(threads = 4, passes = 1, words = 1 << 20) // JIT warm
+    // best-of-2: the first full-size call still carries ~25 ms of
+    // tiered-JIT + fresh-allocation page-in residue (measured; the
+    // single-thread markers amortize theirs over 4 passes)
+    val membwMtMs = math.min(membwMtMarkerMs(), membwMtMarkerMs())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle sizing that survives a scale-up (r5): a FIXED partition count
     // equal to the core count is right at sf0.1 (one wave, no scheduling
@@ -210,6 +392,10 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benign late-accumulator ERROR stacks must not eat the stdout tail
+    // (VERDICT r11 item 3; doc at [[installLateAccumFilter]])
+    val lateAccumSuppressed = new java.util.concurrent.atomic.AtomicLong
+    installLateAccumFilter(lateAccumSuppressed)
     // Warm the session before timing: parquet footers/IO cache + the
     // scan codepaths, so the first measured query doesn't absorb one-time
     // session startup. The measured queries themselves run once, cold.
@@ -294,9 +480,17 @@ object Bench {
     // can't reach); the minimum of repeated runs of deterministic work is
     // the standard low-noise estimator. SPARK_GRAFT_RUNS=1 for profiling.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    // Threshold for the adaptive extra run (ADVICE r3: was hard-coded, and
-    // the retries were invisible in the published JSON — both auditable now)
-    val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
+    // Floor for the adaptive extra run (ADVICE r3: was hard-coded, and
+    // the retries were invisible in the published JSON — both auditable
+    // now). Per-query recorded priors lift it query-by-query (VERDICT
+    // r11 item 2, doc at [[parsePriors]]); an explicit env value
+    // suppresses the priors — it IS the experimenter's threshold.
+    val retryEnv = sys.env.get("SPARK_GRAFT_RETRY_SEC")
+    val retrySec = retryEnv.map(_.toDouble).getOrElse(4.0)
+    val priors: Map[String, Double] =
+      if (retryEnv.isDefined) Map.empty else loadPriors(sfDir, membwMs)
+    def retryThreshold(name: String): Double =
+      priors.get(name).map(p => math.max(retrySec, p * 2.0)).getOrElse(retrySec)
     val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-failed-run exception heads (name -> class + first cause line),
     // published in bench_full.json so a transient that best-of-N absorbs
@@ -330,7 +524,7 @@ object Bench {
       // one extra measurement in the hope of a quieter window. min() of
       // more runs of deterministic work is still an honest estimator.
       val retried =
-        if (ok.nonEmpty && ok.min > retrySec && runs > 1) {
+        if (ok.nonEmpty && ok.min > retryThreshold(name) && runs > 1) {
           retriedNames += name
           val t0 = System.nanoTime()
           try {
@@ -351,9 +545,15 @@ object Bench {
     val failuresJson = failures.map { case (n, h) =>
       s"""{"q":${jsonString(n)},"error":${jsonString(h)}}"""
     }.mkString("[", ",", "]")
+    // effective per-query thresholds for the RETRIED names (audit trail:
+    // a retry that fired must be explainable from the artifact alone —
+    // floor or 2× which prior)
+    val thresholdsJson = retriedNames.map { n =>
+      "\"" + n + "\":" + fmt(retryThreshold(n))
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
@@ -363,20 +563,26 @@ object Bench {
     // window), then the per-query detail line, budgeted so compact +
     // detail + sbt's trailing "[success] Total time ..." still fit.
     println(compactLine(total, results.size, retriedNames.size, spinMs,
-      membwMs, sfDir))
+      membwMs, membwMtMs, sfDir))
     val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     // spin_ms + the spin-normalized total ride the suffix so they survive
     // the driver's tail window even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= perQueryBudget) { shown += entry; used += entry.length + 1 }
     }
+    // one auditable line instead of N 12-line stacks (stderr — it must
+    // never displace the two stdout JSON lines it exists to protect)
+    if (lateAccumSuppressed.get > 0)
+      System.err.println(s"[bench] suppressed ${lateAccumSuppressed.get} " +
+        "late-accumulator ERROR logs (benign: completion events of " +
+        "finished jobs' tasks draining after the inter-query GC)")
     println(prefix + shown.mkString(",") + suffix)
     spark.stop()
   }

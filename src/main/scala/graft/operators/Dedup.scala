@@ -281,6 +281,59 @@ object Dedup {
     marked.drop("__hit").crossJoin(broadcast(flag))
   }
 
+  /** Single-row cluster-agreement flag of a cluster `assignment` against
+    * a `truth` pair frame: TRUE when ≥ `bound` of the truth pairs get the
+    * same assignment cluster on both endpoints (null-safe =: an endpoint
+    * missing from the assignment compares unequal, counting against the
+    * bound — the genuine-risk arm of the oracle pattern). The assignment
+    * side is RESTRICTED to the ids the truth frame mentions before the
+    * two endpoint joins, via a census-gated broadcast left-semi: the
+    * truth frame is pairs-sized (×10/decade by construction at the
+    * declared blocking window) while the assignment is CORPUS-sized on a
+    * duplication-adversarial corpus (with d copies of every text, every
+    * doc sits in an exact clique, so every doc carries a label — at sf100
+    * that is 5 M assignment rows against 21 k truth pairs). The r11 query
+    * shape joined the full assignment twice — two corpus-sized shuffle
+    * joins plus a corpus-sized caller checkpoint, probe-attributed this
+    * round as the ×1.4/decade excess of `q_dedup_clusters_exact_first`
+    * over its additive-linear sibling (VERDICT r11 item 1). A left join
+    * only ever READS assignment rows at truth ids, so the restriction is
+    * value-identical (DedupSpec pins it against the unrestricted form).
+    *
+    * `truth` must expose (id_a, id_b) and should be checkpointed by the
+    * caller (it usually also feeds the declared CC). `assignment` must
+    * expose (id, cluster) and needs NO caller-side checkpoint: the
+    * restricted frame is checkpointed here and is the assignment's only
+    * consumer, so its subplan — including [[clustersExactFirst]]'s
+    * corpus-wide expansion join — still executes exactly once.
+    */
+  def clusterAgreementFlag(truth: DataFrame, assignment: DataFrame,
+      bound: Double, name: String,
+      broadcastCap: Long = 1L << 22): DataFrame = {
+    val tids = truth.select(col("id_a").as("id"))
+      .union(truth.select(col("id_b").as("id")))
+      .distinct()
+      // LAZY: the census count below materializes it
+      .localCheckpoint(false)
+    // census-gated broadcast (the keepIds discipline): tids descends from
+    // a checkpointed frame Catalyst has no stats for, and 2^22 bare longs
+    // ≈ 32 MB — pairs ×10/decade keeps it far under the cap through sf1000
+    val keys = if (tids.count() <= broadcastCap) broadcast(tids) else tids
+    val small = assignment.join(keys, Seq("id"), "left_semi")
+      // checkpointed: both endpoint joins below read it in one query
+      // execution — without materialization the whole assignment subplan
+      // would be duplicated per side (LAZY: the first flag action
+      // materializes it)
+      .localCheckpoint(false)
+    truth
+      .join(small.select(col("id").as("id_a"), col("cluster").as("__ca")),
+        Seq("id_a"), "left")
+      .join(small.select(col("id").as("id_b"), col("cluster").as("__cb")),
+        Seq("id_b"), "left")
+      .agg((count(when(col("__ca") === col("__cb"), 1)) >=
+        count(lit(1)).cast("double") * lit(bound)).as(name))
+  }
+
   /** (id, mh) signature table. The numPerm signature slots are
     * min-aggregates of cheap fixed-width re-hashes xxhash64(h, p) over
     * the exploded gram-hash rows — a codegen'd HashAggregate, NOT an

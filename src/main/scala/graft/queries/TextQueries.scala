@@ -360,15 +360,14 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
         .localCheckpoint(false) // feeds the CC operator AND the flag
       val declared = Dedup.clusters(truth)
-      val mh = Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5))
-        .localCheckpoint(false) // feeds both endpoint joins of the flag
-      val flag = truth
-        .join(mh.select(col("id").as("id_a"), col("cluster").as("__ca")),
-          Seq("id_a"), "left")
-        .join(mh.select(col("id").as("id_b"), col("cluster").as("__cb")),
-          Seq("id_b"), "left")
-        .agg((count(when(col("__ca") === col("__cb"), 1)) >=
-          count(lit(1)).cast("double") * lit(0.7)).as("minhash_cluster_ok"))
+      // truth-restricted agreement (r12, VERDICT r11 item 1): the flag
+      // only reads the assignment at truth-pair ids, so the corpus-sized
+      // label frame is semi-filtered to them before the endpoint joins —
+      // value-identical, and no caller checkpoint (the helper consumes
+      // the assignment subplan exactly once)
+      val flag = Dedup.clusterAgreementFlag(truth,
+        Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5)),
+        bound = 0.7, name = "minhash_cluster_ok")
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
 
@@ -411,15 +410,17 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
         .localCheckpoint(false)
       val declared = Dedup.clusters(truth)
-      val ef = Dedup.clustersExactFirst(docs, threshold = 0.5)
-        .localCheckpoint(false)
-      val flag = truth
-        .join(ef.select(col("id").as("id_a"), col("cluster").as("__ca")),
-          Seq("id_a"), "left")
-        .join(ef.select(col("id").as("id_b"), col("cluster").as("__cb")),
-          Seq("id_b"), "left")
-        .agg((count(when(col("__ca") === col("__cb"), 1)) >=
-          count(lit(1)).cast("double") * lit(0.7)).as("exact_first_cluster_ok"))
+      // truth-restricted agreement (r12, VERDICT r11 item 1): on the
+      // duplication-adversarial decades EVERY doc carries a label (d ≥ 2
+      // copies ⇒ exact clique), so the r11 shape shuffled the 5 M-row
+      // assignment twice against 21 k truth pairs at sf100 — the probe-
+      // attributed ×1.4/decade excess over the additive-linear sibling.
+      // The helper semi-filters the assignment to truth ids first;
+      // clustersExactFirst's full collapse→CC→expand composition still
+      // executes once (the flag stays genuinely at risk), value-identical
+      val flag = Dedup.clusterAgreementFlag(truth,
+        Dedup.clustersExactFirst(docs, threshold = 0.5),
+        bound = 0.7, name = "exact_first_cluster_ok")
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
 

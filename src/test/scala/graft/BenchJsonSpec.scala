@@ -60,14 +60,16 @@ class BenchJsonSpec extends AnyFunSuite {
   test("compact stdout line is short, parseable-shaped, and fits the tail window with the detail line") {
     // VERDICT r7 item 6: every BENCH_r{3..7}.json recorded "parsed": null
     // because the single budgeted line overflowed the driver's 2 KB tail.
-    // The compact line must carry the graded fields in ~150 chars, and
-    // compact + budgeted detail + sbt's trailing "[success]" must fit.
-    val line = Bench.compactLine(73.299, 111, 2, 757.4, 63.1,
+    // The compact line must carry the graded fields in ~190 chars (the
+    // assertion bounds it at 240 post-membw_mt), and compact + budgeted
+    // detail + sbt's trailing "[success]" must fit.
+    val line = Bench.compactLine(73.299, 111, 2, 757.4, 63.1, 171.9,
       "/root/testdata/sf0.1")
-    assert(line.length < 220, s"compact line too long: ${line.length}")
+    assert(line.length < 240, s"compact line too long: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\",\"value\":73.299,"))
     for (k <- Seq("\"nq\":111", "\"nretried\":2", "\"spin_ms\":757.400",
-        "\"membw_ms\":63.100", "\"value_normalized\":", "\"sf\":"))
+        "\"membw_ms\":63.100", "\"membw_mt_ms\":171.900",
+        "\"value_normalized\":", "\"sf\":"))
       assert(line.contains(k), s"missing $k in $line")
     assert(line.count(_ == '"') % 2 == 0 && line.last == '}')
     // window arithmetic: both lines + sbt tail inside 2000 chars
@@ -97,5 +99,63 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(small > 0.0 && large > 0.0)
     assert(large > small * 2,
       s"membw not proportional to work: $small vs $large")
+  }
+
+  test("saturated membw marker measures fixed concurrent traversal work") {
+    // r11 item 5: membw_ms is single-threaded; a host can be weak in
+    // AGGREGATE bandwidth instead. Same proportionality contract, small
+    // array (the spec must not allocate 256 MB), few threads.
+    val words = 4 << 20 // 32 MB
+    // JIT-warm first (as main() does), then best-of-3 per level: the
+    // first one-or-two full-size calls carry ~25 ms of warm residue
+    // (tiered JIT + page-in of fresh allocations) that dwarfs the small
+    // timing — min-of-N of fixed work is the usual low-noise estimator
+    Bench.membwMtMarkerMs(threads = 4, passes = 1, words = words)
+    def best(p: Int): Double = (1 to 3).map(_ =>
+      Bench.membwMtMarkerMs(threads = 4, passes = p, words = words)).min
+    val small = best(2)
+    val large = best(16)
+    assert(small > 0.0 && large > 0.0)
+    assert(large > small * 2,
+      s"membw_mt not proportional to work: $small vs $large")
+  }
+
+  test("late-accumulator log filter denies exactly the benign message") {
+    // r11 item 3: the benign 'Failed to update accumulator N' ERROR
+    // stacks (late completion events of finished jobs' tasks racing the
+    // inter-query GC) must be denied and counted; anything else passes
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    assert(Bench.installLateAccumFilter(counter))
+    val log = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.scheduler.DAGScheduler")
+    log.error("Failed to update accumulator 123 (Unknown class) for task 0")
+    log.error("benign-filter spec probe: a DIFFERENT error must pass through")
+    assert(counter.get == 1, s"suppression count: ${counter.get}")
+  }
+
+  test("retry priors parse, gate on sf basename, and scale by membw deficit") {
+    // r11 item 2: the per-query threshold is 2x a recorded prior cell —
+    // priors must only apply at the matching SF, must drop non-positive
+    // cells, and must inflate when the current host's bandwidth marker
+    // is weaker than the recording host's (never deflate on a faster one)
+    val json =
+      """{"sf":"/root/testdata/sf0.1","membw_ms":140.0,
+         |"queries":{"q_a":5.0,"q_b":0.5,"q_broken":-1.0}}""".stripMargin
+    val same = Bench.parsePriors(json, "sf0.1", membwNow = 140.0)
+    assert(same == Map("q_a" -> 5.0, "q_b" -> 0.5), s"got $same")
+    // weaker host (membw 280 vs recorded 140) doubles the priors
+    val weak = Bench.parsePriors(json, "sf0.1", membwNow = 280.0)
+    assert(math.abs(weak("q_a") - 10.0) < 1e-9 &&
+      math.abs(weak("q_b") - 1.0) < 1e-9, s"got $weak")
+    // FASTER host (membw 70) keeps the recorded priors — a threshold may
+    // be conservative, never tightened below the recorded cell
+    assert(Bench.parsePriors(json, "sf0.1", 70.0)("q_a") == 5.0)
+    // sf basename mismatch: no priors (an sf0.001 smoke run must not
+    // inherit sf0.1 cells)
+    assert(Bench.parsePriors(json, "sf0.001", 140.0).isEmpty)
+    // hostile/absent input degrades to empty, never throws
+    assert(Bench.parsePriors("not json", "sf0.1", 140.0).isEmpty)
+    assert(Bench.parsePriors("{}", "sf0.1", 140.0).isEmpty)
+    assert(Bench.parsePriors("""{"sf":"x/sf0.1"}""", "sf0.1", 140.0).isEmpty)
   }
 }

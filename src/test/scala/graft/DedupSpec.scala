@@ -224,6 +224,52 @@ class DedupSpec extends SparkSpec {
     assert(!base.contains(4L) && !base.contains(5L))
   }
 
+  test("restricted cluster-agreement flag equals the unrestricted form") {
+    // r12 (VERDICT r11 item 1): the flag's endpoint joins semi-filter the
+    // corpus-sized assignment to truth-pair ids first. A left join only
+    // reads assignment rows at truth ids, so the value must be identical —
+    // pinned on a replicated corpus (every doc labeled, the adversarial
+    // decade shape) for an agreeing assignment, a disagreeing one, and an
+    // empty truth frame.
+    import spark.implicits._
+    val dup = (0 until 3).map(i =>
+        corpus.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
+      .reduce(_ unionByName _)
+    val truth = Dedup.exactJaccardWindowPairs(
+      dup.select(col("id"), col("text")), tau = 0.5, window = 200)
+      .localCheckpoint(false)
+    assert(truth.count() >= 2, "fixture must plant truth pairs")
+    def unrestricted(assign: org.apache.spark.sql.DataFrame,
+        name: String): Boolean = truth
+      .join(assign.select(col("id").as("id_a"), col("cluster").as("__ca")),
+        Seq("id_a"), "left")
+      .join(assign.select(col("id").as("id_b"), col("cluster").as("__cb")),
+        Seq("id_b"), "left")
+      .agg((count(when(col("__ca") === col("__cb"), 1)) >=
+        count(lit(1)).cast("double") * lit(0.7)).as(name))
+      .collect().head.getBoolean(0)
+    val good = Dedup.clustersExactFirst(dup, threshold = 0.5)
+      .localCheckpoint(false)
+    // a deliberately wrong assignment: every id its own cluster
+    val bad = dup.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(false)
+    for ((assign, label) <- Seq((good, "agreeing"), (bad, "disagreeing"))) {
+      val restricted = Dedup.clusterAgreementFlag(truth, assign, 0.7, "ok")
+        .collect().head.getBoolean(0)
+      assert(restricted == unrestricted(assign, "ok"),
+        s"$label assignment: restricted flag diverged")
+    }
+    assert(!Dedup.clusterAgreementFlag(truth, bad, 0.7, "ok")
+      .collect().head.getBoolean(0), "disagreeing assignment must fail")
+    // the sub-broadcast-cap census arm too (cap 0 forces the plain join)
+    assert(Dedup.clusterAgreementFlag(truth, good, 0.7, "ok",
+      broadcastCap = 0L).collect().head.getBoolean(0))
+    // empty truth: vacuously true in both forms (0 >= 0)
+    val emptyTruth = truth.filter(lit(false)).localCheckpoint(false)
+    assert(Dedup.clusterAgreementFlag(emptyTruth, good, 0.7, "ok")
+      .collect().head.getBoolean(0))
+  }
+
   test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
     import spark.implicits._
     // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;

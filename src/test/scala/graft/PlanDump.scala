@@ -82,13 +82,26 @@ object PlanDump {
     // native gram_hashes kernel inside a plain Project — no Window, no
     // Exchange before the join) feeding the inverted-index self-join on
     // (gram hash, id block) with the window folded into the key.
+    // The join-shape sentence is SF-SPECIFIC (ADVICE r11: the narrative
+    // hardcoded sf0.1 claims while sfDir is a CLI arg — a regeneration at
+    // another SF would ship a stale story beside a contradicting plan), so
+    // it is gated on the directory this dump actually planned against.
     sb.append("\n## truth frame: Dedup.exactJaccardWindowPairs " +
       "(materialize=false arm — the checkpointed subplan the six paired " +
-      "queries share)\n\nTwo artifacts of THIS dump arm, not the shipped " +
-      "default: (1) at sf0.1 the\ninverted-index self-join plans as a " +
-      "BroadcastHashJoin (the gram-row side's\nestimated stats are tiny " +
-      "here); at scale AQE re-plans it to a shuffle join —\nthe sf100 " +
-      "probe measured that exchange, ~16 GB spill. (2) join-constraint\n" +
+      s"queries share)\n\nPlanned against `$sfDir` (this dump's CLI arg). " +
+      "Two artifacts of THIS dump arm,\nnot the shipped default: (1) ")
+    if (sfDir.contains("sf0.1"))
+      sb.append("at sf0.1 the inverted-index self-join plans as\na " +
+        "BroadcastHashJoin (the gram-row side's estimated stats are tiny " +
+        "here); at\nscale AQE re-plans it to a shuffle join — the sf100 " +
+        "probe measured that\nexchange, ~16 GB spill. ")
+    else
+      sb.append("the inverted-index self-join's shape is\nstats-driven " +
+        "(tiny estimated gram-row sides broadcast, as at sf0.1; larger " +
+        "SFs\nshuffle — the sf100 probe measured ~16 GB spill on that " +
+        "exchange), so read\nthe join line below rather than assuming " +
+        "either. ")
+    sb.append("(2) join-constraint\n" +
       "inference pushes an always-true isnotnull(size(gram_hashes(text)))" +
       " into the\nsizes-branch scan, double-evaluating the kernel — only " +
       "in the recompute arm;\nthe production materialize=true arm reads " +

@@ -31,8 +31,20 @@ object ProbeSession {
   def build(sfDir: String, appName: String = "graft-probe",
       extra: Map[String, String] = Map.empty): SparkSession = {
     val c = cpus
-    val initParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT",
-      Bench.dataSizedInitParts(sfDir, c.toLong).toString)
+    // A SHUFFLE_INIT override replaces the per-directory data-sized
+    // derivation with ONE fixed start count — fine for a single-dir A/B,
+    // but a multi-dir decade probe run under it sizes every directory's
+    // shuffles from the same constant (ADVICE r11: exactly the skew the
+    // per-dir derivation exists to eliminate). Tag it loudly so the
+    // per-session log line can't be misread as the derived value.
+    val initParts = sys.env.get("SPARK_GRAFT_SHUFFLE_INIT") match {
+      case Some(v) =>
+        println(s"[probesession] $appName OVERRIDE SPARK_GRAFT_SHUFFLE_INIT=$v" +
+          " replaces the data-sized derivation (same fixed start for EVERY" +
+          " directory this probe visits — unset it for multi-dir runs)")
+        v
+      case None => Bench.dataSizedInitParts(sfDir, c.toLong).toString
+    }
     println(s"[probesession] $appName sfDir=$sfDir cpus=$c initParts=$initParts")
     val builder = SparkSession.builder()
       .master(s"local[$c]")

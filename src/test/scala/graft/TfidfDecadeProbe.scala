@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Fourth decade for `q_text_tfidf` (VERDICT r8 item 4): sf1000 documents

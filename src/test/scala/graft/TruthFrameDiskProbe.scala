@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Checkpoint-vs-recompute A/B of the exact-Jaccard truth frame's shingle
