@@ -318,17 +318,24 @@ object Dedup {
     // census-gated broadcast (the keepIds discipline): tids descends from
     // a checkpointed frame Catalyst has no stats for, and 2^22 bare longs
     // ≈ 32 MB — pairs ×10/decade keeps it far under the cap through sf1000
-    val keys = if (tids.count() <= broadcastCap) broadcast(tids) else tids
+    val fits = tids.count() <= broadcastCap
+    val keys = if (fits) broadcast(tids) else tids
     val small = assignment.join(keys, Seq("id"), "left_semi")
       // checkpointed: both endpoint joins below read it in one query
       // execution — without materialization the whole assignment subplan
       // would be duplicated per side (LAZY: the first flag action
       // materializes it)
       .localCheckpoint(false)
+    // the same census bounds the restricted frame (semi join ⇒ |small| ≤
+    // |tids|), so under the cap the endpoint joins broadcast too — the
+    // checkpointed sides carry no stats and would otherwise plan as
+    // sort-merge, shuffling the pairs-sized truth frame twice
+    def endpoint(df: DataFrame): DataFrame =
+      if (fits) broadcast(df) else df
     truth
-      .join(small.select(col("id").as("id_a"), col("cluster").as("__ca")),
+      .join(endpoint(small.select(col("id").as("id_a"), col("cluster").as("__ca"))),
         Seq("id_a"), "left")
-      .join(small.select(col("id").as("id_b"), col("cluster").as("__cb")),
+      .join(endpoint(small.select(col("id").as("id_b"), col("cluster").as("__cb"))),
         Seq("id_b"), "left")
       .agg((count(when(col("__ca") === col("__cb"), 1)) >=
         count(lit(1)).cast("double") * lit(bound)).as(name))

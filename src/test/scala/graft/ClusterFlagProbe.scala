@@ -6,24 +6,28 @@ import org.apache.spark.sql.functions._
   * item 1): the sf100 cell ran ×13.9/decade where the sibling pipeline
   * query is ×10.2-additive, with the ×1.4 excess attributed by prose to
   * the agreement join over 1000-copy truth clusters. This probe times the
-  * query's stages separately so the excess gets a measured owner:
+  * query's stages separately so the excess gets a measured owner.
   *
-  *   S1 truth   — exactJaccardWindowPairs materialize (shared with the
-  *                sibling; linear by construction, pairs ×10/decade)
-  *   S2 cc      — declared CC over the materialized truth pairs
-  *   S3 ef      — clustersExactFirst over the full corpus, output
-  *                materialized at ID level (the shipped r11 shape: one
-  *                (id, cluster) row per clustered doc — the WHOLE corpus
-  *                on a duplication-adversarial SF where every text has
-  *                d copies and d ≥ 2 marks every group clustered)
-  *   S4 flag    — the two truth⋈ef agreement joins + the 0.7 aggregate,
-  *                r11 shape (joins against the CORPUS-SIZED ef frame)
-  *   S4r flag'  — the same agreement computed against ef RESTRICTED to
-  *                the ids the truth frame actually mentions (a census-
-  *                gated broadcast semi-join: |truth ids| ≤ 2×pairs, and
-  *                pairs are ×10/decade by construction — the corpus-sized
-  *                shuffles disappear). Prints both flag values so the
-  *                restriction is visibly value-preserving.
+  * Two lessons are baked into its shape (first r12 run): CONSTRUCTION
+  * lines execute real work — `clustersExactFirst` runs its censuses, CC
+  * loop, and driver collect synchronously inside the call, and a lazy
+  * `localCheckpoint(false)` under AQE materializes every stage but the
+  * final one at creation (AdaptiveSparkPlanExec.doExecute submits all
+  * shuffle stages eagerly) — so each `val` is timed as its own stage, and
+  * the ef operator additionally gets an internals section that replays
+  * its sub-stages (collapse census, rep-level pair+CC, label census,
+  * expansion join) one materialization at a time.
+  *
+  *   S1c/S1 truth  — exactJaccardWindowPairs construct / count
+  *   S2 cc         — declared CC over the materialized truth pairs
+  *   S3c/S3 ef     — clustersExactFirst construct / count (r11 shape:
+  *                   corpus-sized ID-level output)
+  *   E1..E4        — ef internals, replayed
+  *   S4 flag       — r11 agreement shape (two corpus-sized joins)
+  *   S4r flag'     — truth-restricted agreement ([[graft.operators.Dedup
+  *                   .clusterAgreementFlag]]); prints both flag values so
+  *                   the restriction is visibly value-preserving
+  *   S5            — declared write (noop-equivalent ordering)
   *
   * Usage: SPARK_DRIVER_MEM=80g sbt "Test/runMain graft.ClusterFlagProbe tmp/sf100 [runs]"
   */
@@ -45,10 +49,12 @@ object ClusterFlagProbe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").as("id"), col("text"))
 
-      val truth = graft.operators.Dedup
-        .exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
-        .localCheckpoint(false)
-      timed("S1 truth materialize") {
+      val truth = timed("S1c truth construct") {
+        graft.operators.Dedup
+          .exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
+          .localCheckpoint(false)
+      }
+      timed("S1 truth count") {
         println(s"[flagprobe]   pairs = ${truth.count()}")
       }
       val declared = timed("S2 declared CC") {
@@ -56,9 +62,48 @@ object ClusterFlagProbe {
         println(s"[flagprobe]   labels = ${d.count()}")
         d
       }
-      val ef = graft.operators.Dedup.clustersExactFirst(docs, threshold = 0.5)
-        .localCheckpoint(false)
-      timed("S3 ef operator") {
+
+      // ── ef internals, replayed one materialization at a time (mirrors
+      // Dedup.clustersExactFirst; measurement copy, cited there) ──
+      locally {
+        val nonDegenerate = docs
+          .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+        val groups = timed("E1 collapse groupBy(text)") {
+          val g = nonDegenerate.groupBy(col("text"))
+            .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+            .localCheckpoint(false)
+          println(s"[flagprobe]   distinct texts = ${g.count()}")
+          g
+        }
+        val repLabels = timed("E2 rep pairs + CC") {
+          val r = graft.operators.Dedup.clusters(
+            graft.operators.Dedup.minhashPairs(
+              groups.select(col("rep").as("id"), col("text")), 0.5))
+            .select(col("id").as("rep_id"), col("cluster").as("rep_cluster"))
+          println(s"[flagprobe]   rep labels = ${r.count()}")
+          r
+        }
+        val labeled = timed("E3 label census") {
+          val l = groups.join(repLabels, col("rep") === col("rep_id"), "left")
+            .filter(col("rep_cluster").isNotNull || col("grp_n") >= 2)
+            .select(col("text"),
+              coalesce(col("rep_cluster"), col("rep")).as("cluster"))
+            .localCheckpoint(false)
+          println(s"[flagprobe]   labeled = ${l.count()}")
+          l
+        }
+        timed("E4 expansion join count") {
+          println(s"[flagprobe]   expanded = ${nonDegenerate
+            .join(broadcast(labeled), Seq("text"))
+            .select(col("id"), col("cluster")).count()}")
+        }
+      }
+
+      val ef = timed("S3c ef construct") {
+        graft.operators.Dedup.clustersExactFirst(docs, threshold = 0.5)
+          .localCheckpoint(false)
+      }
+      timed("S3 ef count") {
         println(s"[flagprobe]   ef rows = ${ef.count()}")
       }
       val flagOf = (assign: org.apache.spark.sql.DataFrame) => truth
@@ -71,19 +116,11 @@ object ClusterFlagProbe {
       timed("S4 flag (corpus ef)") {
         println(s"[flagprobe]   flag = ${flagOf(ef).collect().head.getBoolean(0)}")
       }
-      timed("S4r flag (restricted ef)") {
-        val tids = truth.select(col("id_a").as("id"))
-          .union(truth.select(col("id_b").as("id")))
-          .distinct()
-          .localCheckpoint(false)
-        val small =
-          (if (tids.count() <= (1L << 22)) broadcast(tids) else tids)
-        val efSmall = ef.join(small, Seq("id"), "left_semi")
-          .localCheckpoint(false)
-        println(s"[flagprobe]   efSmall rows = ${efSmall.count()}")
-        println(s"[flagprobe]   flag = ${flagOf(efSmall).collect().head.getBoolean(0)}")
+      timed("S4r flag (restricted)") {
+        println(s"[flagprobe]   flag = ${graft.operators.Dedup
+          .clusterAgreementFlag(truth, ef, 0.7, "ok")
+          .collect().head.getBoolean(0)}")
       }
-      // reference: the declared output forced like the bench does
       timed("S5 declared write") {
         declared.orderBy("id").write.format("noop").mode("overwrite").save()
       }
