@@ -217,22 +217,33 @@ object Dedup {
     */
   def exactJaccardWindowPairs(docs: DataFrame, tau: Double,
       window: Int, materialize: Boolean = true): DataFrame = {
-    // What's materialized ONCE (lazy) is the PER-DOC GRAM ARRAY frame
-    // (r11) — one row per doc, array-encoded longs, no id repeated per
-    // gram — not the exploded (id, h) rows the r10 form checkpointed.
-    // Both join sides and the sizes projection read it; consumers
-    // explode ROW-LOCALLY from the checkpoint, so the gram-occurrence
-    // shuffle that dominated the sf100 cell (the r10 shape's lead()-
-    // window needed every gram row shuffled by id BEFORE the checkpoint;
+    // What's materialized ONCE is the PER-DOC GRAM ARRAY frame (r11) —
+    // one row per doc, array-encoded longs, no id repeated per gram —
+    // not the exploded (id, h) rows the r10 form checkpointed. Both join
+    // sides and the sizes projection read it; consumers explode
+    // ROW-LOCALLY from the checkpoint, so the gram-occurrence shuffle
+    // that dominated the sf100 cell (the r10 shape's lead()-window
+    // needed every gram row shuffled by id BEFORE the checkpoint;
     // TruthFrameDiskProbe measured ~21.5 GB of sort spill that was
     // exactly that exchange) is gone, and `sizes` is a plain size(g)
     // projection — the per-doc count aggregate and its shuffle with it.
+    // EAGER since r12: a lazy checkpoint here is NOT materialized once —
+    // AQE submits the join's a-side and b-side map stages together, they
+    // RACE to compute the lazy checkpoint's partitions, and each runs
+    // the full gram kernel for blocks the other also computes (the
+    // losing store is discarded — the `Block rdd_N already exists`
+    // warnings every truth construct logged). TruthArrProbe,
+    // order-controlled A/B at sf10: eager 9.5 s warm-min vs lazy
+    // 11.6 s, and 13.3 vs 58.2 s in a cold-FS window (the race doubles
+    // exactly the file-create-storm-prone work this host class hates).
+    // The price is one dedicated driver round-trip per truth construct
+    // (~tens of ms; JobBudgetSpec ceilings re-recorded deliberately).
     // The `materialize = false` arm recomputes the gram subplan per
     // consumer (the disk-posture A/B, VERDICT r10 item 4; its r10
     // numbers: recompute 1.7× the wall at identical peak disk — re-run
     // post-rewrite in BASELINE.md r11).
     val arrPlan = gramHashSets(docs)
-    val arr = if (materialize) arrPlan.localCheckpoint(false) else arrPlan
+    val arr = if (materialize) arrPlan.localCheckpoint(true) else arrPlan
     val sizes = arr.select(col("id"), size(col("g")).as("n"))
     val rows = arr.select(col("id"), explode(col("g")).as("h"))
     val blk = floor(col("id") / window).cast("long")

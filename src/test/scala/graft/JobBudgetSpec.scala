@@ -20,7 +20,12 @@ package graft
 class JobBudgetSpec extends SparkSpec {
 
   private val budget: Map[String, Int] = Map(
-    "q_dedup_clusters" -> 24,   // r10 oracle pairing: truth CC + minhash CC
+    "q_dedup_clusters" -> 27,   // r10 oracle pairing: truth CC + minhash CC;
+                                // r12 re-record (+3): the truth frame's
+                                // eager gram-array checkpoint (TruthArrProbe
+                                // trade — kills the racing duplicate gram
+                                // pass) and the restricted flag's tids
+                                // census + small-side materialization
     "q_dedup_clusters_exact_first" -> 31, // r10 oracle pairing
     "q_dedup_pipeline_exact_first" -> 33, // r10 oracle pairing
     "q_event_resample" -> 4,
