@@ -137,6 +137,47 @@ object Bench {
     ms
   }
 
+  /** Filesystem-metadata latency marker (VERDICT r12 item 2): time a
+    * fixed batch of create + 4 KB write + close + delete operations in a
+    * fresh subdirectory of the JVM's temp dir — the same filesystem
+    * Spark's default local dirs (shuffle files, localCheckpoint blocks)
+    * live on. Published as `fsmeta_ms` beside the CPU/bandwidth markers.
+    * Motivation: the r12 root-cause of the sf10-class cell swings was a
+    * cold shuffle-FILE-CREATION storm — 15/32 task threads parked in
+    * `FileOutputStream.open0` at 84% CPU idle, i.e. filesystem JOURNAL
+    * latency, which none of the three existing markers can see (they
+    * never touch a file). A cell recorded during such a window is now
+    * identifiable from the artifact alone: quiet creates run ~10–20 µs
+    * (batch of 256 ≈ 3–8 ms), a journaling storm inflates them ~10×.
+    * Best-of-2 in main like the other markers. The files are tiny and
+    * deleted before return; a filesystem error degrades to -1 rather
+    * than failing the bench.
+    */
+  private[graft] def fsmetaMarkerMs(files: Int = 256, bytes: Int = 4096): Double =
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fsmeta")
+      val payload = new Array[Byte](bytes)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < files) {
+        val p = dir.resolve(s"f$i")
+        val out = java.nio.file.Files.newOutputStream(p)
+        try out.write(payload) finally out.close()
+        i += 1
+      }
+      i = 0
+      while (i < files) {
+        java.nio.file.Files.delete(dir.resolve(s"f$i"))
+        i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      java.nio.file.Files.delete(dir)
+      ms
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fsmeta marker failed: $e")
+      -1.0
+    }
+
   /** Per-query adaptive-retry priors (VERDICT r11 item 2): the fixed 4 s
     * retry floor stopped discriminating once the paired dedup family's
     * HEALTHY steady state crossed it (3.9–5.9 s at sf0.1) — every driver
@@ -149,24 +190,36 @@ object Bench {
     * query the SMALLER prior wins (robust to one poisoned record). A
     * prior applies only when its `sf` basename matches the current
     * run's (an sf0.001 smoke must not inherit sf0.1 cells), and is
-    * scaled UP by `membw_now / membw_recorded` when the current host's
-    * bandwidth marker is weaker than the recording host's (the r10→r11
-    * host flip inflated shuffle cells 2.5–4× at healthy CPU — an
-    * unscaled fast-host prior would re-open the false-retry class on
-    * the next weak host). No recorded prior ⇒ the floor alone, the old
-    * behavior. An EXPLICIT SPARK_GRAFT_RETRY_SEC disables priors
+    * scaled UP by `max(membw_now/membw_rec, membw_mt_now/membw_mt_rec)`
+    * when the current host's bandwidth markers are weaker than the
+    * recording host's (the r10→r11 host flip inflated shuffle cells
+    * 2.5–4× at healthy CPU; and per ADVICE r12, hosts can run
+    * shuffle-heavy cells ~10× slower at IDENTICAL single-stream membw —
+    * the r12 host pair differed only in the AGGREGATE marker, so a
+    * single-stream-only scale would leave thresholds at 2× a fast
+    * host's cells on a weak-aggregate host and re-open the false-retry
+    * class). The mt term is skipped when either side lacks the marker
+    * (pre-r12 prior files). No recorded prior ⇒ the floor alone, the
+    * old behavior. An EXPLICIT SPARK_GRAFT_RETRY_SEC disables priors
     * entirely: the experimenter's A/B threshold applies verbatim
-    * (forcing retries for debugging needs exactly that).
+    * (forcing retries for debugging needs exactly that). Calling with
+    * both `now` markers at 0 returns the RAW recorded cells (the
+    * inflation statistic and reprocessing paths need unscaled priors).
     */
   private[graft] def parsePriors(json: String, sfBase: String,
-      membwNow: Double): Map[String, Double] =
+      membwNow: Double, membwMtNow: Double): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
       val sf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
       if (sf.split('/').last != sfBase) Map.empty
       else {
         val ref = Option(root.get("membw_ms")).map(_.asDouble(0.0)).getOrElse(0.0)
-        val scale = if (ref > 0.0 && membwNow > ref) membwNow / ref else 1.0
+        val refMt =
+          Option(root.get("membw_mt_ms")).map(_.asDouble(0.0)).getOrElse(0.0)
+        val s1 = if (ref > 0.0 && membwNow > ref) membwNow / ref else 1.0
+        val s2 =
+          if (refMt > 0.0 && membwMtNow > refMt) membwMtNow / refMt else 1.0
+        val scale = math.max(s1, s2)
         val qs = root.get("queries")
         if (qs == null) Map.empty
         else {
@@ -182,32 +235,93 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** The committed quiet-reference prior resource, verbatim (None when
+    * missing/unreadable). The contended-window machinery reads its
+    * markers and raw cells from THIS file only — `target/bench_full.json`
+    * also feeds retry priors but records whatever window the last local
+    * run happened to land in, so it must never define "quiet".
+    */
+  private[graft] def resourcePriorJson(): Option[String] =
+    try {
+      val in = getClass.getResourceAsStream("/graft/bench-prior.json")
+      if (in == null) None
+      else try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A top-level numeric field of a prior file, gated on the same sf
+    * basename as the cells (a marker recorded at sf0.1 says nothing
+    * about a run at another scale's protocol). 0.0 when absent.
+    */
+  private[graft] def parsePriorMarker(json: String, sfBase: String,
+      field: String): Double =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val sf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+      if (sf.split('/').last != sfBase) 0.0
+      else Option(root.get(field)).map(_.asDouble(0.0)).getOrElse(0.0)
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
+
   /** The merged prior map for a run: workspace history ∧ committed
     * reference, per-query min (doc at [[parsePriors]]).
     */
-  private[graft] def loadPriors(sfDir: String, membwNow: Double): Map[String, Double] = {
+  private[graft] def loadPriors(sfDir: String, membwNow: Double,
+      membwMtNow: Double): Map[String, Double] = {
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val hist =
       try {
         val p = java.nio.file.Paths.get("target/bench_full.json")
         if (java.nio.file.Files.exists(p))
           parsePriors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
-            sfBase, membwNow)
+            sfBase, membwNow, membwMtNow)
         else Map.empty[String, Double]
       } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
-    val res =
-      try {
-        val in = getClass.getResourceAsStream("/graft/bench-prior.json")
-        if (in == null) Map.empty[String, Double]
-        else
-          try parsePriors(new String(in.readAllBytes(), "UTF-8"), sfBase, membwNow)
-          finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val res = resourcePriorJson()
+      .map(parsePriors(_, sfBase, membwNow, membwMtNow))
+      .getOrElse(Map.empty[String, Double])
     (hist.keySet ++ res.keySet).iterator.map { k =>
       k -> math.min(hist.getOrElse(k, Double.MaxValue),
         res.getOrElse(k, Double.MaxValue))
     }.toMap
   }
+
+  /** Median inflation of a run's cells over the committed quiet
+    * reference's RAW cells — the marker-independent contention statistic
+    * the r12 adjudication used by hand (VERDICT r12: "median 1.31×
+    * inflation vs the committed quiet priors ... hitting untouched
+    * queries as hard as dedup"). Published as `prior_inflation_med`;
+    * 0.0 when the prior covers none of the run's queries. A median
+    * deliberately understates skewed contention (half the surface is
+    * sub-second scan-bound cells that barely inflate) — it is an
+    * adjudication SIGNAL beside the markers, not a normalizer: the r12
+    * contended pair measured 101.5 s and 120.6 s at IDENTICAL start
+    * markers, so no start-of-run statistic can recover the quiet value;
+    * recovery is the second measurement pass's job.
+    */
+  private[graft] def inflationMedian(cells: Map[String, Double],
+      rawPriors: Map[String, Double]): Double = {
+    val ratios = cells.iterator.collect {
+      case (q, v) if v > 0.0 && rawPriors.getOrElse(q, 0.0) > 0.0 =>
+        v / rawPriors(q)
+    }.toArray.sorted
+    if (ratios.isEmpty) 0.0
+    else {
+      val n = ratios.length
+      if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2.0
+    }
+  }
+
+  /** A membw_mt reading counts as contended when it sits more than 10%
+    * above the committed quiet reference's recorded marker. The margin is
+    * measured, not guessed: the r12 host's quiet band was 43–47 ms
+    * (reference 45.0 — ×1.04 worst case inside the band) and both
+    * documented contended windows read 52.8–53.0 (×1.17+) — 1.10 splits
+    * the bands with ~6% clearance on each side. A missing reference
+    * (no committed prior for this sf, e.g. every scale-probe dir)
+    * disables the classification rather than guessing a host class.
+    */
+  private[graft] val ContendedFactor = 1.10
+  private[graft] def isContended(mtNow: Double, mtRef: Double): Boolean =
+    mtRef > 0.0 && mtNow > mtRef * ContendedFactor
 
   /** Deny-filter for the one benign ERROR stack that kept polluting the
     * driver artifact's 2000-char stdout tail (VERDICT r11 item 3,
@@ -237,6 +351,16 @@ object Bench {
     * [[errorHead]] anyway. main() prints one summary line to stderr at
     * the end, so the artifact records THAT suppression happened without
     * 12-line stacks eating the tail window.
+    *
+    * Blast radius (ADVICE r12): the deny is restricted to exactly the
+    * benign shape, not the message prefix alone — the event must come
+    * from the DAGScheduler logger AND name the lost accumulator's class
+    * as unknown (`(Unknown class)` — the context lookup already failed)
+    * or carry the `non-existent accumulator` root cause. A genuine
+    * accumulator-update failure during an ACTIVE query names a real
+    * class (`(SQLMetric)`, a user accumulator's class) with a different
+    * cause and still logs; so does any same-prefix message from another
+    * logger.
     */
   private[graft] def installLateAccumFilter(
       counter: java.util.concurrent.atomic.AtomicLong): Boolean =
@@ -244,12 +368,25 @@ object Bench {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
       val f = new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        private def rootCauseMsg(t: Throwable): String = {
+          var r = t
+          while (r.getCause != null && (r.getCause ne r)) r = r.getCause
+          Option(r.getMessage).getOrElse("")
+        }
         override def filter(e: LogEvent): Filter.Result = {
           val m = e.getMessage
-          if (m != null && {
-            val s = m.getFormattedMessage
-            s != null && s.startsWith("Failed to update accumulator")
-          }) { counter.incrementAndGet(); Filter.Result.DENY }
+          val benign =
+            "org.apache.spark.scheduler.DAGScheduler" == e.getLoggerName &&
+            m != null && {
+              val s = m.getFormattedMessage
+              s != null && s.startsWith("Failed to update accumulator") && (
+                s.contains("(Unknown class)") || {
+                  val t = e.getThrown
+                  t != null &&
+                    rootCauseMsg(t).contains("non-existent accumulator")
+                })
+            }
+          if (benign) { counter.incrementAndGet(); Filter.Result.DENY }
           else Filter.Result.NEUTRAL
         }
       }
@@ -300,27 +437,33 @@ object Bench {
   }
 
   /** Ultra-compact whole-run record (VERDICT r7 item 6): total, query
-    * count, retry count, spin + membw + membw_mt markers, normalized
-    * total — ~190 chars (BenchJsonSpec bounds it at 240), no
-    * per-query entries. Printed FIRST so the driver's 2 KB stdout tail
-    * always captures one machine-readable line even when the per-query
-    * line plus sbt's trailing "[success]" fills the rest of the window
-    * (`BENCH_r{3..7}.json` all recorded `"parsed": null`). Both lines
-    * together must stay under the window — [[perQueryBudget]] keeps the
-    * long line's share down.
+    * count, retry count, spin + membw + membw_mt + fsmeta markers, the
+    * END-of-run membw_mt re-read, the pass count, the contended flag,
+    * and the normalized total — ~260 chars (BenchJsonSpec bounds it at
+    * 300), no per-query entries. Printed FIRST so the driver's 2 KB
+    * stdout tail always captures one machine-readable line even when the
+    * per-query line plus sbt's trailing "[success]" fills the rest of
+    * the window (`BENCH_r{3..7}.json` all recorded `"parsed": null`).
+    * Both lines together must stay under the window —
+    * [[perQueryBudget]] keeps the long line's share down.
     */
   private[graft] def compactLine(total: Double, nq: Int, nretried: Int,
-      spinMs: Double, membwMs: Double, membwMtMs: Double, sf: String): String =
+      spinMs: Double, membwMs: Double, membwMtMs: Double,
+      membwMtEndMs: Double, fsmetaMs: Double, passes: Int,
+      contended: Boolean, sf: String): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
       s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
       s""""membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},""" +
+      s""""membw_mt_end_ms":${fmt(membwMtEndMs)},""" +
+      s""""fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,""" +
+      s""""contended":$contended,""" +
       s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},""" +
       // sfDir is environment input — escape it, or a quote/backslash in
       // the path breaks the very line that must always stay parseable
       s""""sf":${jsonString(sf)}}"""
 
-  /** Character budget for the per-query stdout line: compact line (~190
-    * post-membw_mt, bounded 240 by spec) + this + sbt's "[success] Total
+  /** Character budget for the per-query stdout line: compact line (~260
+    * post-contended, bounded 300 by spec) + this + sbt's "[success] Total
     * time ..." tail (~40) must fit the driver's 2000-char window with
     * margin.
     */
@@ -339,6 +482,8 @@ object Bench {
     // tiered-JIT + fresh-allocation page-in residue (measured; the
     // single-thread markers amortize theirs over 4 passes)
     val membwMtMs = math.min(membwMtMarkerMs(), membwMtMarkerMs())
+    fsmetaMarkerMs(files = 16) // page the FS code paths, same discipline
+    val fsmetaMs = math.min(fsmetaMarkerMs(), fsmetaMarkerMs())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle sizing that survives a scale-up (r5): a FIXED partition count
     // equal to the core count is right at sf0.1 (one wave, no scheduling
@@ -469,11 +614,16 @@ object Bench {
       System.err.println(s"[bench] codegen warm-up skipped: ${errorHead(e)}") }
     // Optional comma-separated query-name filter for profiling single
     // queries (e.g. SPARK_GRAFT_ONLY=q_dedup_clusters,q_text_tfidf).
+    // Queries run in the GIVEN order (r12 item 2: the sf10 storm probes
+    // need order-ALTERNATED sibling pairs, and registry order always ran
+    // the same query into the session-cold FS storm — a bias that only
+    // ever inflated the measured sibling ratio).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = only match {
+      case Some(names) => names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      case None        => SparkEntry.queries.toSeq
     }
     // Best-of-N per query (default 2): single runs swing ±40% on a
     // virtualized host (GC pauses, CPU steal, Janino compiles the warmup
@@ -488,7 +638,8 @@ object Bench {
     val retryEnv = sys.env.get("SPARK_GRAFT_RETRY_SEC")
     val retrySec = retryEnv.map(_.toDouble).getOrElse(4.0)
     val priors: Map[String, Double] =
-      if (retryEnv.isDefined) Map.empty else loadPriors(sfDir, membwMs)
+      if (retryEnv.isDefined) Map.empty
+      else loadPriors(sfDir, membwMs, membwMtMs)
     def retryThreshold(name: String): Double =
       priors.get(name).map(p => math.max(retrySec, p * 2.0)).getOrElse(retrySec)
     val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -496,21 +647,25 @@ object Bench {
     // published in bench_full.json so a transient that best-of-N absorbs
     // still leaves an auditable name in the artifact
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop write forces FULL execution of every output column —
-        // .count() let Catalyst prune unreferenced projections, so map-only
-        // queries measured little more than scan+count (VERDICT r1 §wrong.6)
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failures += name -> errorHead(e)
-          Double.NaN // a crash must never masquerade as a fast timing
-        }
+    // one measured execution: noop write forces FULL execution of every
+    // output column — .count() let Catalyst prune unreferenced
+    // projections, so map-only queries measured little more than
+    // scan+count (VERDICT r1 §wrong.6). NaN marks a crash: it must never
+    // masquerade as a fast timing.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failures += name -> errorHead(e)
+        Double.NaN
       }
+    }
+    val pass1 = selected.map { case (name, fn) =>
+      val times = (1 to runs).map(_ => timeOnce(name, fn))
       // release this query's localCheckpoint blocks: the ContextCleaner
       // frees them only after the driver-side RDD references are GC'd,
       // and accumulated blocks from earlier queries otherwise build heap
@@ -526,16 +681,65 @@ object Bench {
       val retried =
         if (ok.nonEmpty && ok.min > retryThreshold(name) && runs > 1) {
           retriedNames += name
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            ok :+ (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            failures += name -> errorHead(e); ok }
+          val t = timeOnce(name, fn)
+          if (t.isNaN) ok else ok :+ t
         } else ok
       name -> (if (retried.isEmpty) -1.0 else retried.min) // -1 marks a broken query
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // ---- Contended-window defense (VERDICT r12 item 1) ----------------
+    // The 2× gate reads this run's total, but r12's gate-facing artifact
+    // recorded 120.6 s in a window its own membw_mt marker classified as
+    // contended while the same binary's quiet floor was 73.3 s — and no
+    // start-of-run statistic can normalize that away (the two documented
+    // contended runs measured 101.5 and 120.6 s at IDENTICAL markers:
+    // contention varies WITHIN a run, below the marker's sampling). So
+    // the defense is re-measurement, not modeling: re-read the aggregate-
+    // bandwidth marker after the suite, and when either reading sits
+    // above the committed quiet reference ([[isContended]]), run ONE full
+    // second pass (single execution per query, same GC discipline) and
+    // min-merge — deterministic work, so min over more executions remains
+    // an honest estimator, and r12's measured windows alternated
+    // quiet/contended/quiet within a session, so the second pass lands on
+    // the band whenever the window clears. The final flag is conservative:
+    // `contended` stays true unless SOME pass was bracketed by two quiet
+    // readings. Scale probes are untouched (their sf has no committed
+    // reference ⇒ mtRef 0 ⇒ classification and second pass disabled).
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val resJson = resourcePriorJson()
+    val mtRef = resJson.map(parsePriorMarker(_, sfBase, "membw_mt_ms")).getOrElse(0.0)
+    val rawPriors = resJson.map(parsePriors(_, sfBase, 0.0, 0.0))
+      .getOrElse(Map.empty[String, Double])
+    val membwMtMidMs = math.min(membwMtMarkerMs(), membwMtMarkerMs())
+    val secondPassEnabled = runs > 1 &&
+      sys.env.getOrElse("SPARK_GRAFT_SECOND_PASS", "1") != "0"
+    val doSecondPass = secondPassEnabled &&
+      (isContended(membwMtMs, mtRef) || isContended(membwMtMidMs, mtRef))
+    val (results, membwMtEndMs, passes) =
+      if (!doSecondPass) (pass1, membwMtMidMs, 1)
+      else {
+        System.err.println("[bench] contended window (membw_mt " +
+          s"start=${fmt(membwMtMs)} mid=${fmt(membwMtMidMs)} vs quiet " +
+          s"ref ${fmt(mtRef)} x$ContendedFactor) - running a second " +
+          "measurement pass")
+        val p1 = pass1.toMap
+        val merged = selected.map { case (name, fn) =>
+          val t = timeOnce(name, fn)
+          System.gc()
+          val candidates =
+            Seq(p1.getOrElse(name, -1.0), if (t.isNaN) -1.0 else t)
+              .filter(_ >= 0.0)
+          name -> (if (candidates.isEmpty) -1.0 else candidates.min)
+        }
+        (merged, math.min(membwMtMarkerMs(), membwMtMarkerMs()), 2)
+      }
+    val pass1Quiet = mtRef > 0.0 &&
+      !isContended(membwMtMs, mtRef) && !isContended(membwMtMidMs, mtRef)
+    val pass2Quiet = passes == 2 &&
+      !isContended(membwMtMidMs, mtRef) && !isContended(membwMtEndMs, mtRef)
+    val contended = mtRef > 0.0 && !(pass1Quiet || pass2Quiet)
+    val cellsByName = results.toMap
+    val inflationMed = inflationMedian(cellsByName, rawPriors)
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query detail — too long for the driver's 2000-char stdout
     // tail window (the r2 one-liner with all 89 queries at full precision
     // was truncated mid-line and failed to parse) — goes to a file.
@@ -553,7 +757,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
@@ -563,14 +767,14 @@ object Bench {
     // window), then the per-query detail line, budgeted so compact +
     // detail + sbt's trailing "[success] Total time ..." still fit.
     println(compactLine(total, results.size, retriedNames.size, spinMs,
-      membwMs, membwMtMs, sfDir))
-    val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
+      membwMs, membwMtMs, membwMtEndMs, fsmetaMs, passes, contended, sfDir))
+    val ordered = results.sortBy { case (_, v) => (v >= 0, -v) }
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     // spin_ms + the spin-normalized total ride the suffix so they survive
     // the driver's tail window even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>

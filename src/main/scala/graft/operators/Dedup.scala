@@ -334,15 +334,22 @@ object Dedup {
     val small = assignment.join(keys, Seq("id"), "left_semi")
       // checkpointed: both endpoint joins below read it in one query
       // execution — without materialization the whole assignment subplan
-      // would be duplicated per side (LAZY: the first flag action
-      // materializes it)
+      // would be duplicated per side. The census count right below
+      // materializes it EAGERLY relative to the consuming joins, so two
+      // broadcast exchanges can never race its block construction (the
+      // TruthArr lesson at [[exactJaccardWindowPairs]], in miniature)
       .localCheckpoint(false)
-    // the same census bounds the restricted frame (semi join ⇒ |small| ≤
-    // |tids|), so under the cap the endpoint joins broadcast too — the
-    // checkpointed sides carry no stats and would otherwise plan as
-    // sort-merge, shuffling the pairs-sized truth frame twice
+    // Endpoint broadcasts are gated on the restricted frame's OWN census,
+    // not the tids one (ADVICE r12): the semi join bounds |small| ≤ |tids|
+    // only when the assignment carries at most one row per id — true of
+    // every current caller (cluster labelings), but a future caller with
+    // duplicated labels would have blown a tids-derived broadcast budget
+    // silently. The count is one job over a pairs-sized checkpointed
+    // frame; the checkpointed sides carry no stats and would otherwise
+    // plan as sort-merge, shuffling the pairs-sized truth frame twice.
+    val smallFits = small.count() <= broadcastCap
     def endpoint(df: DataFrame): DataFrame =
-      if (fits) broadcast(df) else df
+      if (smallFits) broadcast(df) else df
     truth
       .join(endpoint(small.select(col("id").as("id_a"), col("cluster").as("__ca"))),
         Seq("id_a"), "left")

@@ -60,15 +60,21 @@ class BenchJsonSpec extends AnyFunSuite {
   test("compact stdout line is short, parseable-shaped, and fits the tail window with the detail line") {
     // VERDICT r7 item 6: every BENCH_r{3..7}.json recorded "parsed": null
     // because the single budgeted line overflowed the driver's 2 KB tail.
-    // The compact line must carry the graded fields in ~190 chars (the
-    // assertion bounds it at 240 post-membw_mt), and compact + budgeted
-    // detail + sbt's trailing "[success]" must fit.
+    // The compact line must carry the graded fields in ~260 chars (the
+    // assertion bounds it at 300 post-contended), and compact + budgeted
+    // detail + sbt's trailing "[success]" must fit. The r13 fields make
+    // the window adjudication mechanical (VERDICT r12 item 1): the END
+    // re-read of the aggregate-bandwidth marker, the storm marker, the
+    // pass count, and the contended flag all ride the always-parseable
+    // line.
     val line = Bench.compactLine(73.299, 111, 2, 757.4, 63.1, 171.9,
-      "/root/testdata/sf0.1")
-    assert(line.length < 240, s"compact line too long: ${line.length}")
+      165.2, 6.4, 2, contended = true, "/root/testdata/sf0.1")
+    assert(line.length < 300, s"compact line too long: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\",\"value\":73.299,"))
     for (k <- Seq("\"nq\":111", "\"nretried\":2", "\"spin_ms\":757.400",
         "\"membw_ms\":63.100", "\"membw_mt_ms\":171.900",
+        "\"membw_mt_end_ms\":165.200", "\"fsmeta_ms\":6.400",
+        "\"passes\":2", "\"contended\":true",
         "\"value_normalized\":", "\"sf\":"))
       assert(line.contains(k), s"missing $k in $line")
     assert(line.count(_ == '"') % 2 == 0 && line.last == '}')
@@ -120,42 +126,135 @@ class BenchJsonSpec extends AnyFunSuite {
       s"membw_mt not proportional to work: $small vs $large")
   }
 
-  test("late-accumulator log filter denies exactly the benign message") {
-    // r11 item 3: the benign 'Failed to update accumulator N' ERROR
-    // stacks (late completion events of finished jobs' tasks racing the
-    // inter-query GC) must be denied and counted; anything else passes
+  test("late-accumulator log filter denies exactly the benign shape") {
+    // r11 item 3 + ADVICE r12: the benign 'Failed to update accumulator
+    // N' ERROR stacks (late completion events of finished jobs' tasks
+    // racing the inter-query GC) must be denied and counted — but ONLY
+    // the benign shape: DAGScheduler logger AND (Unknown class /
+    // non-existent-accumulator cause). A genuine accumulator failure
+    // during an active query names a real class with a different cause
+    // and must still log.
     val counter = new java.util.concurrent.atomic.AtomicLong
     assert(Bench.installLateAccumFilter(counter))
-    val log = org.apache.logging.log4j.LogManager
+    val dag = org.apache.logging.log4j.LogManager
       .getLogger("org.apache.spark.scheduler.DAGScheduler")
-    log.error("Failed to update accumulator 123 (Unknown class) for task 0")
-    log.error("benign-filter spec probe: a DIFFERENT error must pass through")
+    // benign shape 1: context lookup already failed -> class unknown
+    dag.error("Failed to update accumulator 123 (Unknown class) for task 0")
     assert(counter.get == 1, s"suppression count: ${counter.get}")
+    // benign shape 2: real class named but the root cause is the
+    // non-existent-accumulator lookup (weakly-held metric GC'd mid-update)
+    dag.error("Failed to update accumulator 7 (SQLMetric) for task 3",
+      new RuntimeException("wrapper", new IllegalStateException(
+        "attempted to access non-existent accumulator 7")))
+    assert(counter.get == 2, s"suppression count: ${counter.get}")
+    // NOT benign: same prefix, real class, unrelated cause — passes
+    dag.error("Failed to update accumulator 9 (LongAccumulator) for task 1",
+      new RuntimeException("user accumulator add overflowed"))
+    assert(counter.get == 2, "a real-class/unrelated-cause failure was denied")
+    // NOT benign: benign-looking message from a DIFFERENT logger — passes
+    org.apache.logging.log4j.LogManager.getLogger("graft.spec.probe")
+      .error("Failed to update accumulator 5 (Unknown class) for task 2")
+    assert(counter.get == 2, "a non-DAGScheduler event was denied")
+    // unrelated messages pass
+    dag.error("benign-filter spec probe: a DIFFERENT error must pass through")
+    assert(counter.get == 2, s"suppression count: ${counter.get}")
   }
 
-  test("retry priors parse, gate on sf basename, and scale by membw deficit") {
-    // r11 item 2: the per-query threshold is 2x a recorded prior cell —
-    // priors must only apply at the matching SF, must drop non-positive
-    // cells, and must inflate when the current host's bandwidth marker
-    // is weaker than the recording host's (never deflate on a faster one)
+  test("fsmeta marker measures fixed file-metadata work and scales with it") {
+    // r12 item 2: the cold shuffle-file-creation storm (15/32 threads in
+    // FileOutputStream.open0 at 84% idle) is FS-JOURNAL latency — no
+    // CPU/bandwidth marker sees it. The marker must time genuine
+    // create+write+delete work: positive, and ~8x the files takes
+    // materially longer (loose factor, best-of-3 — FS timings are the
+    // noisiest of the four markers, which is exactly why it exists).
+    Bench.fsmetaMarkerMs(files = 8) // page the code paths first
+    def best(files: Int): Double =
+      (1 to 3).map(_ => Bench.fsmetaMarkerMs(files = files)).min
+    val small = best(32)
+    val large = best(256)
+    assert(small > 0.0 && large > 0.0)
+    assert(large > small * 2,
+      s"fsmeta not proportional to work: $small vs $large")
+  }
+
+  test("contended classification gates on the committed quiet reference") {
+    // r12 item 1: 1.10 x the reference splits the measured bands (quiet
+    // 43-47 vs contended 52.8+ on the r12 host, ref 45.009) with
+    // clearance on both sides; a missing reference disables the
+    // classification instead of guessing a host class.
+    assert(!Bench.isContended(47.0, 45.0))   // top of the quiet band
+    assert(Bench.isContended(52.8, 45.0))    // both r12 contended windows
+    assert(Bench.isContended(52.96, 45.0))
+    assert(!Bench.isContended(49.0, 45.0))   // inside the 10% margin
+    assert(!Bench.isContended(500.0, 0.0))   // no reference -> never
+    assert(!Bench.isContended(500.0, -1.0))
+  }
+
+  test("prior markers parse with the same sf gate as the cells") {
     val json =
-      """{"sf":"/root/testdata/sf0.1","membw_ms":140.0,
+      """{"sf":"/x/sf0.1","membw_ms":140.0,"membw_mt_ms":45.0,
+         |"queries":{"q_a":5.0}}""".stripMargin
+    assert(Bench.parsePriorMarker(json, "sf0.1", "membw_mt_ms") == 45.0)
+    assert(Bench.parsePriorMarker(json, "sf0.1", "fsmeta_ms") == 0.0)
+    assert(Bench.parsePriorMarker(json, "sf10", "membw_mt_ms") == 0.0)
+    assert(Bench.parsePriorMarker("not json", "sf0.1", "membw_mt_ms") == 0.0)
+  }
+
+  test("inflation median is robust to missing/broken cells and empty overlap") {
+    val priors = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "zero" -> 0.0)
+    // ratios: a 2.0, b 1.5, c 1.0 -> median 1.5; 'broken' (-1), 'new'
+    // (no prior) and 'zero' (non-positive prior) are excluded
+    val cells = Map("a" -> 2.0, "b" -> 3.0, "c" -> 4.0,
+      "broken" -> -1.0, "new" -> 9.0, "zero" -> 5.0)
+    assert(math.abs(Bench.inflationMedian(cells, priors) - 1.5) < 1e-9)
+    // even count: median of (2.0, 1.5) = 1.75
+    assert(math.abs(Bench.inflationMedian(
+      Map("a" -> 2.0, "b" -> 3.0), priors) - 1.75) < 1e-9)
+    assert(Bench.inflationMedian(Map("x" -> 1.0), priors) == 0.0)
+    assert(Bench.inflationMedian(Map.empty, priors) == 0.0)
+  }
+
+  test("retry priors parse, gate on sf basename, and scale by the worst bandwidth deficit") {
+    // r11 item 2 + ADVICE r12: the per-query threshold is 2x a recorded
+    // prior cell — priors must only apply at the matching SF, must drop
+    // non-positive cells, and must inflate by the WORSE of the
+    // single-stream and aggregate bandwidth deficits (the r12 host pair
+    // ran shuffle cells ~10x apart at IDENTICAL single-stream membw —
+    // only membw_mt separated them). Never deflate on a faster host.
+    val json =
+      """{"sf":"/root/testdata/sf0.1","membw_ms":140.0,"membw_mt_ms":50.0,
          |"queries":{"q_a":5.0,"q_b":0.5,"q_broken":-1.0}}""".stripMargin
-    val same = Bench.parsePriors(json, "sf0.1", membwNow = 140.0)
+    val same = Bench.parsePriors(json, "sf0.1", membwNow = 140.0,
+      membwMtNow = 50.0)
     assert(same == Map("q_a" -> 5.0, "q_b" -> 0.5), s"got $same")
-    // weaker host (membw 280 vs recorded 140) doubles the priors
-    val weak = Bench.parsePriors(json, "sf0.1", membwNow = 280.0)
+    // weaker single-stream host (membw 280 vs recorded 140) doubles
+    val weak = Bench.parsePriors(json, "sf0.1", 280.0, 50.0)
     assert(math.abs(weak("q_a") - 10.0) < 1e-9 &&
       math.abs(weak("q_b") - 1.0) < 1e-9, s"got $weak")
-    // FASTER host (membw 70) keeps the recorded priors — a threshold may
-    // be conservative, never tightened below the recorded cell
-    assert(Bench.parsePriors(json, "sf0.1", 70.0)("q_a") == 5.0)
+    // weak-AGGREGATE host at identical single-stream membw (the r12
+    // class): mt 150 vs recorded 50 triples the priors
+    val weakMt = Bench.parsePriors(json, "sf0.1", 140.0, 150.0)
+    assert(math.abs(weakMt("q_a") - 15.0) < 1e-9, s"got $weakMt")
+    // both weak: the worse deficit wins (max, not product)
+    val both = Bench.parsePriors(json, "sf0.1", 280.0, 150.0)
+    assert(math.abs(both("q_a") - 15.0) < 1e-9, s"got $both")
+    // FASTER host keeps the recorded priors — a threshold may be
+    // conservative, never tightened below the recorded cell
+    assert(Bench.parsePriors(json, "sf0.1", 70.0, 25.0)("q_a") == 5.0)
+    // a pre-r12 prior file without membw_mt_ms: mt term skipped
+    val noMt =
+      """{"sf":"/root/testdata/sf0.1","membw_ms":140.0,
+         |"queries":{"q_a":5.0}}""".stripMargin
+    assert(Bench.parsePriors(noMt, "sf0.1", 140.0, 999.0)("q_a") == 5.0)
+    // both now-markers at 0: RAW recorded cells (the inflation statistic
+    // and reprocessing paths read priors unscaled)
+    assert(Bench.parsePriors(json, "sf0.1", 0.0, 0.0)("q_a") == 5.0)
     // sf basename mismatch: no priors (an sf0.001 smoke run must not
     // inherit sf0.1 cells)
-    assert(Bench.parsePriors(json, "sf0.001", 140.0).isEmpty)
+    assert(Bench.parsePriors(json, "sf0.001", 140.0, 50.0).isEmpty)
     // hostile/absent input degrades to empty, never throws
-    assert(Bench.parsePriors("not json", "sf0.1", 140.0).isEmpty)
-    assert(Bench.parsePriors("{}", "sf0.1", 140.0).isEmpty)
-    assert(Bench.parsePriors("""{"sf":"x/sf0.1"}""", "sf0.1", 140.0).isEmpty)
+    assert(Bench.parsePriors("not json", "sf0.1", 140.0, 50.0).isEmpty)
+    assert(Bench.parsePriors("{}", "sf0.1", 140.0, 50.0).isEmpty)
+    assert(Bench.parsePriors("""{"sf":"x/sf0.1"}""", "sf0.1", 140.0, 50.0).isEmpty)
   }
 }

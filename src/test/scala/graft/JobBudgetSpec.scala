@@ -20,14 +20,23 @@ package graft
 class JobBudgetSpec extends SparkSpec {
 
   private val budget: Map[String, Int] = Map(
-    "q_dedup_clusters" -> 27,   // r10 oracle pairing: truth CC + minhash CC;
+    "q_dedup_clusters" -> 29,   // r10 oracle pairing: truth CC + minhash CC;
                                 // r12 re-record (+3): the truth frame's
                                 // eager gram-array checkpoint (TruthArrProbe
                                 // trade — kills the racing duplicate gram
                                 // pass) and the restricted flag's tids
-                                // census + small-side materialization
-    "q_dedup_clusters_exact_first" -> 31, // r10 oracle pairing
-    "q_dedup_pipeline_exact_first" -> 33, // r10 oracle pairing
+                                // census + small-side materialization;
+                                // r13 re-record (+2): the agreement flag's
+                                // endpoint broadcasts now gate on the
+                                // restricted frame's OWN census (ADVICE
+                                // r12 — robust to duplicated-label
+                                // callers), which also materializes its
+                                // checkpoint eagerly ahead of the two
+                                // consuming joins
+    "q_dedup_clusters_exact_first" -> 34, // r10 oracle pairing; r13 +2/+1
+                                // (flag small-census, see q_dedup_clusters)
+    "q_dedup_pipeline_exact_first" -> 32, // r10 oracle pairing; r13
+                                // re-record at measured 32 (same change)
     "q_event_resample" -> 4,
     "q_knn_ivf" -> 12,
     "q_knn_lsh" -> 12,

@@ -46,6 +46,18 @@ object ProbeSession {
       case None => Bench.dataSizedInitParts(sfDir, c.toLong).toString
     }
     println(s"[probesession] $appName sfDir=$sfDir cpus=$c initParts=$initParts")
+    // Window markers, printed with every probe session so scale cells are
+    // classifiable from the probe log alone (VERDICT r12 item 2): the
+    // fsmeta marker is the storm discriminator — the cold shuffle-file-
+    // creation storm that swings sf10-class cells 2.5× is FS-journal
+    // latency, invisible to the CPU/bandwidth markers — and membw_mt is
+    // the aggregate-bandwidth host classifier. Same best-of-2-after-warm
+    // discipline as Bench.main; ~0.3 s per session build.
+    Bench.membwMtMarkerMs(threads = 4, passes = 1, words = 1 << 20) // JIT warm
+    val mt = math.min(Bench.membwMtMarkerMs(), Bench.membwMtMarkerMs())
+    Bench.fsmetaMarkerMs(files = 16) // page the FS code paths
+    val fsm = math.min(Bench.fsmetaMarkerMs(), Bench.fsmetaMarkerMs())
+    println(f"[probesession] $appName markers membw_mt_ms=$mt%.3f fsmeta_ms=$fsm%.3f")
     val builder = SparkSession.builder()
       .master(s"local[$c]")
       .appName(appName)
