@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Refit the committed quiet-reference prior from a bench run's artifact.
+
+Protocol (BASELINE.md r13, VERDICT r12 item 3): the committed resource
+src/main/resources/graft/bench-prior.json feeds three load-bearing
+mechanisms — per-query retry thresholds, the contended-window
+classification (its membw_mt_ms defines "quiet" for Bench.isContended),
+and the published prior_inflation_med statistic — so it must come from a
+QUIET full-surface run of the CURRENT binary, and its provenance must be
+auditable. This script enforces the quiet-run preconditions instead of
+trusting the operator:
+
+  * the source artifact must cover every query with a positive cell
+    (a partial run would silently revert missing queries to the bare
+    4 s retry floor and drop them from the inflation median),
+  * nretried must be 0 (a retried run already classified itself as
+    sitting in a dirty window for at least one query),
+  * the run must not have been flagged contended, and its own
+    start/mid/end membw_mt readings must agree within the AGREEMENT
+    bound below (a run whose window moved materially is not a
+    reference).
+
+Usage: python3 tools/refit_prior.py [target/bench_full.json] [note]
+Writes src/main/resources/graft/bench-prior.json; re-run
+`sbt "Test/testOnly graft.PriorSpec"` after — the spec pins coverage of
+every declared query and the full marker set.
+"""
+import json
+import sys
+
+# Internal marker-agreement bound for a refit source run. Deliberately
+# LOOSER than Bench.ContendedFactor (1.10): that factor compares a
+# reading against a fixed quiet reference, while a run's own three
+# readings carry first-read residue on top of window noise — the r12/r13
+# quiet sessions measured start-vs-end spreads up to 1.16 (47.3 -> 40.9)
+# with every reading inside the quiet band, and the documented contended
+# windows sit at 1.23+ over the band floor.
+AGREEMENT_FACTOR = 1.20
+
+src = sys.argv[1] if len(sys.argv) > 1 else "target/bench_full.json"
+note = sys.argv[2] if len(sys.argv) > 2 else ""
+dst = "src/main/resources/graft/bench-prior.json"
+
+run = json.load(open(src))
+
+cells = {q: v for q, v in run["queries"].items() if v > 0.0}
+broken = sorted(set(run["queries"]) - set(cells))
+if broken:
+    sys.exit(f"refusing: non-positive cells (broken queries) in {src}: {broken}")
+
+if run.get("retried"):
+    sys.exit(f"refusing: source run retried {run['retried']} — not a quiet run")
+if run.get("contended", False):
+    sys.exit(f"refusing: source run is flagged contended")
+
+mts = [run.get(k, 0.0) for k in ("membw_mt_ms", "membw_mt_mid_ms", "membw_mt_end_ms")]
+mts = [m for m in mts if m > 0.0]
+if mts and max(mts) > min(mts) * AGREEMENT_FACTOR:
+    sys.exit(f"refusing: membw_mt readings disagree beyond x{AGREEMENT_FACTOR}: {mts}"
+             " — the window moved during the run")
+
+sf = run["sf"].rstrip("/").split("/")[-1]
+comment = (
+    "Per-query adaptive-retry priors + quiet-window reference (VERDICT r11 "
+    "item 2 / r12 item 1). Recorded by tools/refit_prior.py from a quiet "
+    f"full-surface {sf} run (nretried=0, contended=false); threshold(q) = "
+    "max(floor, 2x cell), bandwidth-scaled upward on weaker hosts; "
+    "membw_mt_ms defines the contended classification. See Bench.parsePriors"
+    + (f". {note}" if note else ".")
+)
+
+out = {
+    "comment": comment,
+    "sf": sf,
+    "spin_ms": round(run["spin_ms"], 3),
+    "membw_ms": round(run["membw_ms"], 3),
+    "membw_mt_ms": round(run["membw_mt_ms"], 3),
+    "fsmeta_ms": round(run.get("fsmeta_ms", 0.0), 3),
+    "total_s": round(run["value"], 3),
+    "queries": {q: round(v, 3) for q, v in sorted(cells.items())},
+}
+json.dump(out, open(dst, "w"), indent=1)
+open(dst, "a").write("\n")
+print(f"wrote {dst}: {len(cells)} cells, total {out['total_s']} s, "
+      f"markers spin {out['spin_ms']} / membw {out['membw_ms']} / "
+      f"membw_mt {out['membw_mt_ms']} / fsmeta {out['fsmeta_ms']}")
