@@ -323,6 +323,32 @@ object Bench {
   private[graft] def isContended(mtNow: Double, mtRef: Double): Boolean =
     mtRef > 0.0 && mtNow > mtRef * ContendedFactor
 
+  /** Cell-level second-pass trigger (r13, found live): a window can read
+    * QUIET on all four markers and still run every cell inflated — the
+    * r13 session pair measured 84.9 s and 95.4 s against the committed
+    * 70.2 s reference with membw_mt 42.9–46.8 (in band), fsmeta 15.2 (in
+    * band), and pass-1 inflation medians of 1.167 and 1.219 — ambient
+    * slowdown below all four probes' sampling, exactly the shape the
+    * markers structurally cannot see (they measure µs–ms bursts; the
+    * cells integrate seconds). The inflation median over the committed
+    * reference's raw cells DOES see it, so it triggers the same defense:
+    * one more full measurement pass, min-merged — re-measurement, not
+    * modeling, and min over more executions of deterministic work stays
+    * an honest estimator. The margin is measured, not guessed: quiet
+    * same-host runs sit at 1.00–1.01, the marker-quiet inflated pair at
+    * 1.167+, the r12 contended windows at 1.31+ — 1.15 splits the bands
+    * with ~14% clearance below and ~1.5% above (conservative toward
+    * firing; a spurious extra pass costs ~80 s and cannot corrupt the
+    * result). No prior coverage (scale dirs) ⇒ median 0.0 ⇒ never fires.
+    * A stale prior after a cell-moving binary change can fire this
+    * permanently — the cost is one extra pass per run until the
+    * prescribed refit (tools/refit_prior.py), and the published value
+    * stays honest throughout.
+    */
+  private[graft] val InflationFactor = 1.15
+  private[graft] def isInflated(inflMed: Double): Boolean =
+    inflMed > InflationFactor
+
   /** Deny-filter for the one benign ERROR stack that kept polluting the
     * driver artifact's 2000-char stdout tail (VERDICT r11 item 3,
     * reproduced and named this round):
@@ -704,6 +730,9 @@ object Bench {
     // `contended` stays true unless SOME pass was bracketed by two quiet
     // readings. Scale probes are untouched (their sf has no committed
     // reference ⇒ mtRef 0 ⇒ classification and second pass disabled).
+    // Since r13's live pair the trigger is marker OR cell-level
+    // ([[isInflated]]): a window can be quiet on all four markers and
+    // still run every cell ~1.2× — the pass-1 inflation median sees it.
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val resJson = resourcePriorJson()
     val mtRef = resJson.map(parsePriorMarker(_, sfBase, "membw_mt_ms")).getOrElse(0.0)
@@ -712,14 +741,24 @@ object Bench {
     val membwMtMidMs = math.min(membwMtMarkerMs(), membwMtMarkerMs())
     val secondPassEnabled = runs > 1 &&
       sys.env.getOrElse("SPARK_GRAFT_SECOND_PASS", "1") != "0"
-    val doSecondPass = secondPassEnabled &&
-      (isContended(membwMtMs, mtRef) || isContended(membwMtMidMs, mtRef))
+    // cell-level trigger (doc at [[isInflated]]): pass-1 cells vs the
+    // committed reference's raw cells — catches the marker-quiet ambient
+    // slowdown the four µs-scale probes structurally cannot see
+    val inflMedP1 = inflationMedian(pass1.toMap, rawPriors)
+    val markerFired =
+      isContended(membwMtMs, mtRef) || isContended(membwMtMidMs, mtRef)
+    val inflationFired = isInflated(inflMedP1)
+    val doSecondPass = secondPassEnabled && (markerFired || inflationFired)
+    val pass2Trigger =
+      if (!doSecondPass) ""
+      else if (markerFired) "membw_mt" else "inflation"
     val (results, membwMtEndMs, passes) =
       if (!doSecondPass) (pass1, membwMtMidMs, 1)
       else {
-        System.err.println("[bench] contended window (membw_mt " +
+        System.err.println(s"[bench] $pass2Trigger trigger (membw_mt " +
           s"start=${fmt(membwMtMs)} mid=${fmt(membwMtMidMs)} vs quiet " +
-          s"ref ${fmt(mtRef)} x$ContendedFactor) - running a second " +
+          s"ref ${fmt(mtRef)} x$ContendedFactor; pass-1 inflation med " +
+          s"${fmt(inflMedP1)} vs x$InflationFactor) - running a second " +
           "measurement pass")
         val p1 = pass1.toMap
         val merged = selected.map { case (name, fn) =>
@@ -757,7 +796,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"pass2_trigger":${jsonString(pass2Trigger)},"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"pass1_inflation_med":${fmt(inflMedP1)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:

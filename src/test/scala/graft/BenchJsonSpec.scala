@@ -208,6 +208,22 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.parsePriorMarker("not json", "sf0.1", "membw_mt_ms") == 0.0)
   }
 
+  test("inflation trigger splits the measured quiet and marker-quiet-inflated bands") {
+    // r13, found live: the session pair read QUIET on all four markers
+    // (membw_mt 42.9-46.8 in band, fsmeta 15.2 in band) yet ran every
+    // cell inflated - pass-1 inflation medians 1.167 and 1.219 against
+    // quiet same-host runs at 1.00-1.01 and the r12 contended windows at
+    // 1.31+. The 1.15 margin splits those measured bands; no prior
+    // coverage (scale dirs -> median 0.0) must never fire.
+    assert(!Bench.isInflated(1.01))  // quiet same-host runs
+    assert(!Bench.isInflated(1.14))  // inside the margin
+    assert(Bench.isInflated(1.167))  // both live marker-quiet windows
+    assert(Bench.isInflated(1.219))
+    assert(Bench.isInflated(1.31))   // r12 contended artifact
+    assert(!Bench.isInflated(0.0))   // no prior coverage -> never
+    assert(!Bench.isInflated(0.85))  // faster host -> never
+  }
+
   test("inflation median is robust to missing/broken cells and empty overlap") {
     val priors = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "zero" -> 0.0)
     // ratios: a 2.0, b 1.5, c 1.0 -> median 1.5; 'broken' (-1), 'new'
