@@ -178,6 +178,58 @@ object Bench {
       -1.0
     }
 
+  /** Page-cache warm of the input dir: sequentially read every byte of
+    * every regular file under `dir` once, returning the elapsed ms (late
+    * r13). A session's FIRST run otherwise measures page-cache-cold
+    * parquet reads — trigger-validation #2 (BASELINE.md r13) recorded
+    * pass-1 inflation 1.259 with all four markers quiet-or-faster,
+    * dominated by cold input, costing a spurious ~80 s second pass — and
+    * the committed reference was recorded warm, so pass-1 cells are only
+    * comparable to its cells over a warm cache. Returns 0.0 without
+    * reading when the dir is missing or its total size exceeds
+    * `capBytes` (never stream tens of GB through the page cache at
+    * scale; the cap is far above every driver-config dir and far below
+    * every scale dir). Degrades to -1 on IO error rather than failing
+    * the bench.
+    */
+  private[graft] def warmInputMs(dir: String, capBytes: Long = 4L << 30): Double =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) 0.0
+      else {
+        val stream = java.nio.file.Files.walk(root)
+        val files =
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p)).toVector
+          } finally stream.close()
+        val totalBytes = files.iterator.map(java.nio.file.Files.size).sum
+        if (totalBytes > capBytes) 0.0
+        else {
+          val buf = new Array[Byte](1 << 20)
+          var sink = 0L // data-dependent use defeats dead-code elimination
+          val t0 = System.nanoTime()
+          files.foreach { p =>
+            val in = java.nio.file.Files.newInputStream(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) sink += buf(0) + buf(n - 1)
+                n = in.read(buf)
+              }
+            } finally in.close()
+          }
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (sink == Long.MinValue) System.err.print("")
+          ms
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] input warm failed: $e")
+      -1.0
+    }
+
   /** Per-query adaptive-retry priors (VERDICT r11 item 2): the fixed 4 s
     * retry floor stopped discriminating once the paired dedup family's
     * HEALTHY steady state crossed it (3.9–5.9 s at sf0.1) — every driver
@@ -690,6 +742,24 @@ object Bench {
         Double.NaN
       }
     }
+    // Committed quiet reference for THIS sf (also consumed by the
+    // contended-window defense below): absent for every scale dir, which
+    // deliberately disables classification, the second pass, and the
+    // input warm there.
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val resJson = resourcePriorJson()
+    val mtRef = resJson.map(parsePriorMarker(_, sfBase, "membw_mt_ms")).getOrElse(0.0)
+    val rawPriors = resJson.map(parsePriors(_, sfBase, 0.0, 0.0))
+      .getOrElse(Map.empty[String, Double])
+    // ---- Input warm (doc at [[warmInputMs]]) --------------------------
+    // Gated exactly like the classification machinery: only when the
+    // committed reference covers this sf — scale probes measure the
+    // session-cold path DELIBERATELY under the slot protocol and must
+    // never be warmed. SPARK_GRAFT_WARM=0 disables for cold-path
+    // experiments; the duration is published in bench_full.json.
+    val warmMs =
+      if (rawPriors.isEmpty || sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "0") 0.0
+      else warmInputMs(sfDir)
     val pass1 = selected.map { case (name, fn) =>
       val times = (1 to runs).map(_ => timeOnce(name, fn))
       // release this query's localCheckpoint blocks: the ContextCleaner
@@ -733,11 +803,6 @@ object Bench {
     // Since r13's live pair the trigger is marker OR cell-level
     // ([[isInflated]]): a window can be quiet on all four markers and
     // still run every cell ~1.2× — the pass-1 inflation median sees it.
-    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val resJson = resourcePriorJson()
-    val mtRef = resJson.map(parsePriorMarker(_, sfBase, "membw_mt_ms")).getOrElse(0.0)
-    val rawPriors = resJson.map(parsePriors(_, sfBase, 0.0, 0.0))
-      .getOrElse(Map.empty[String, Double])
     val membwMtMidMs = math.min(membwMtMarkerMs(), membwMtMarkerMs())
     val secondPassEnabled = runs > 1 &&
       sys.env.getOrElse("SPARK_GRAFT_SECOND_PASS", "1") != "0"
@@ -796,7 +861,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"pass2_trigger":${jsonString(pass2Trigger)},"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"pass1_inflation_med":${fmt(inflMedP1)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"warm_ms":${fmt(warmMs)},"passes":$passes,"pass2_trigger":${jsonString(pass2Trigger)},"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"pass1_inflation_med":${fmt(inflMedP1)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:

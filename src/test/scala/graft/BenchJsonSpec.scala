@@ -185,6 +185,33 @@ class BenchJsonSpec extends AnyFunSuite {
       s"fsmeta not proportional to work: $small vs $large")
   }
 
+  test("input warm reads every file once, respects the size cap, and degrades on a missing dir") {
+    // late r13: a session's first run measures page-cache-cold parquet
+    // (trigger-validation #2: pass-1 inflation 1.259 with all four
+    // markers quiet-or-faster), while the committed reference was
+    // recorded warm — the warm makes pass-1 cells comparable to it. The
+    // helper must time real byte reads (positive, and more bytes takes
+    // materially longer), return 0.0 WITHOUT reading when the dir's
+    // total size exceeds the cap (scale dirs must stay cold for the slot
+    // protocol) or the dir is absent, and never throw.
+    val dir = java.nio.file.Files.createTempDirectory("graft_warm")
+    val rnd = new scala.util.Random(7)
+    def fill(name: String, bytes: Int): Unit = {
+      val a = new Array[Byte](bytes); rnd.nextBytes(a)
+      java.nio.file.Files.write(dir.resolve(name), a)
+    }
+    (1 to 4).foreach(i => fill(s"f$i.parquet", 1 << 20))
+    val warmed = Bench.warmInputMs(dir.toString)
+    assert(warmed > 0.0, s"warm did not time reads: $warmed")
+    assert(Bench.warmInputMs(dir.toString, capBytes = 1L) == 0.0,
+      "cap exceeded must skip without reading")
+    assert(Bench.warmInputMs(dir.resolve("absent").toString) == 0.0,
+      "missing dir must be a no-op")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("contended classification gates on the committed quiet reference") {
     // r12 item 1: 1.10 x the reference splits the measured bands (quiet
     // 43-47 vs contended 52.8+ on the r12 host, ref 45.009) with
