@@ -180,13 +180,19 @@ object Bench {
 
   /** Page-cache warm of the input dir: sequentially read every byte of
     * every regular file under `dir` once, returning the elapsed ms (late
-    * r13). A session's FIRST run otherwise measures page-cache-cold
-    * parquet reads — trigger-validation #2 (BASELINE.md r13) recorded
-    * pass-1 inflation 1.259 with all four markers quiet-or-faster,
-    * dominated by cold input, costing a spurious ~80 s second pass — and
-    * the committed reference was recorded warm, so pass-1 cells are only
-    * comparable to its cells over a warm cache. Returns 0.0 without
-    * reading when the dir is missing or its total size exceeds
+    * r13). Two honest purposes, neither of which is "explain the
+    * session-cold first run": (1) hygiene — the committed reference was
+    * recorded on a warm cache, so removing the input-cache component
+    * (cheap: the sf0.1 dir is 17 MB, ≲0.5 s even fully cold) keeps
+    * pass-1 cells strictly comparable to the reference's; (2) audit —
+    * `warm_ms` in bench_full.json RECORDS whether the input was cold
+    * (tens of ms warm vs hundreds cold per GB), so a future adjudication
+    * can rule input cache in or out by artifact alone. It deliberately
+    * does NOT claim to remove the first-run-of-session inflation
+    * (trigger-validation #2's 1.259 with quiet markers): at 17 MB the
+    * input-cache share of that is small; the rest is session-cold FS
+    * state and window, which stays the second pass's job. Returns 0.0
+    * without reading when the dir is missing or its total size exceeds
     * `capBytes` (never stream tens of GB through the page cache at
     * scale; the cap is far above every driver-config dir and far below
     * every scale dir). Degrades to -1 on IO error rather than failing

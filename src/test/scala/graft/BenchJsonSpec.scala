@@ -186,13 +186,13 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("input warm reads every file once, respects the size cap, and degrades on a missing dir") {
-    // late r13: a session's first run measures page-cache-cold parquet
-    // (trigger-validation #2: pass-1 inflation 1.259 with all four
-    // markers quiet-or-faster), while the committed reference was
-    // recorded warm — the warm makes pass-1 cells comparable to it. The
-    // helper must time real byte reads (positive, and more bytes takes
-    // materially longer), return 0.0 WITHOUT reading when the dir's
-    // total size exceeds the cap (scale dirs must stay cold for the slot
+    // late r13: the committed reference was recorded on a warm cache, so
+    // the warm removes the (small — sf0.1 is 17 MB) input-cache
+    // component from pass-1 cells and, more importantly, warm_ms records
+    // whether the input WAS cold so adjudication can rule input cache in
+    // or out from the artifact alone. The helper must time real byte
+    // reads (positive), return 0.0 WITHOUT reading when the dir's total
+    // size exceeds the cap (scale dirs must stay cold for the slot
     // protocol) or the dir is absent, and never throw.
     val dir = java.nio.file.Files.createTempDirectory("graft_warm")
     val rnd = new scala.util.Random(7)
