@@ -20,10 +20,18 @@ trusting the operator:
     bound below (a run whose window moved materially is not a
     reference).
 
-Usage: python3 tools/refit_prior.py [target/bench_full.json] [note]
+Usage: python3 tools/refit_prior.py [target/bench_full.json] [note] [--reanchor]
 Writes src/main/resources/graft/bench-prior.json; re-run
 `sbt "Test/testOnly graft.PriorSpec"` after — the spec pins coverage of
 every declared query and the full marker set.
+
+--reanchor: accept a passes=2 source run. A run whose own second-pass
+trigger fired measured ITSELF as inflated against the current prior;
+refitting from it re-anchors "quiet" to the slower host class, which is
+the PRESCRIBED remedy when the host genuinely changed (BASELINE r13:
+"re-measurement on a slower host converges to the slower host's honest
+floor") — but it must be a deliberate act, not a default, or a lucky
+ambient window with agreeing markers could silently lower the bar.
 """
 import json
 import sys
@@ -37,8 +45,10 @@ import sys
 # windows sit at 1.23+ over the band floor.
 AGREEMENT_FACTOR = 1.20
 
-src = sys.argv[1] if len(sys.argv) > 1 else "target/bench_full.json"
-note = sys.argv[2] if len(sys.argv) > 2 else ""
+argv = [a for a in sys.argv[1:] if a != "--reanchor"]
+reanchor = "--reanchor" in sys.argv[1:]
+src = argv[0] if len(argv) > 0 else "target/bench_full.json"
+note = argv[1] if len(argv) > 1 else ""
 dst = "src/main/resources/graft/bench-prior.json"
 
 run = json.load(open(src))
@@ -52,6 +62,13 @@ if run.get("retried"):
     sys.exit(f"refusing: source run retried {run['retried']} — not a quiet run")
 if run.get("contended", False):
     sys.exit(f"refusing: source run is flagged contended")
+if run.get("passes", 1) != 1 and not reanchor:
+    sys.exit(
+        f"refusing: source run took {run['passes']} passes "
+        f"(trigger: {run.get('pass2_trigger', '?')}) — it measured itself as "
+        "inflated against the current prior. If the host class genuinely "
+        "changed and you intend to re-anchor 'quiet' to it, re-run with "
+        "--reanchor (see the protocol note in this script's docstring).")
 
 mts = [run.get(k, 0.0) for k in ("membw_mt_ms", "membw_mt_mid_ms", "membw_mt_end_ms")]
 mts = [m for m in mts if m > 0.0]
