@@ -244,6 +244,21 @@ object Dedup {
     // post-rewrite in BASELINE.md r11).
     val arrPlan = gramHashSets(docs)
     val arr = if (materialize) arrPlan.localCheckpoint(true) else arrPlan
+    exactJaccardWindowPairsArr(arr, tau, window)
+  }
+
+  /** [[exactJaccardWindowPairs]] over a CALLER-SUPPLIED per-doc gram-array
+    * frame (the [[gramHashSets]] shape, normally checkpointed by the
+    * caller) — r14: the oracle-paired dedup queries build a truth frame
+    * AND a candidate pipeline over the SAME corpus, and both need the
+    * gram kernel; sharing one checkpointed gram frame removes a full
+    * corpus scan + kernel pass per query (at 100 TB: one whole read of
+    * the corpus). Values are unchanged — the kernel output is
+    * deterministic, so pairs from a shared frame are bitwise-identical
+    * to pairs from a private one.
+    */
+  def exactJaccardWindowPairsArr(arr: DataFrame, tau: Double,
+      window: Int): DataFrame = {
     val sizes = arr.select(col("id"), size(col("g")).as("n"))
     val rows = arr.select(col("id"), explode(col("g")).as("h"))
     val blk = floor(col("id") / window).cast("long")
@@ -370,7 +385,22 @@ object Dedup {
     * whole signature pass is doc-sized.
     */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame =
-    shingleHashRows(docs).groupBy(col("id"))
+    signaturesFromRows(shingleHashRows(docs), numPerm)
+
+  /** [[minhashSignatures]] from a caller-supplied gram-array frame (the
+    * [[gramHashSets]] shape) — the row-local explode of `g` produces
+    * exactly [[shingleHashRows]]' rows ([[graft.functions.TextExprs
+    * .gramHashes]] already returns per-doc DISTINCT hashes), so the
+    * signatures are bitwise-identical while the gram kernel pass is
+    * shared with the truth frame (r14 — see
+    * [[exactJaccardWindowPairsArr]]).
+    */
+  def minhashSignaturesArr(arr: DataFrame, numPerm: Int = 64): DataFrame =
+    signaturesFromRows(
+      arr.select(col("id"), explode(col("g")).as("h")), numPerm)
+
+  private def signaturesFromRows(rows: DataFrame, numPerm: Int): DataFrame =
+    rows.groupBy(col("id"))
       .agg(array((0 until numPerm).map(p =>
         min(xxhash64(col("h"), lit(p)))): _*).as("mh"))
 
@@ -403,11 +433,18 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
       numPerm: Int = 64, bandRows: Int = 4, maxBucket: Int = 256,
-      stats: Option[DropStats] = None): DataFrame = {
+      stats: Option[DropStats] = None,
+      gramArr: Option[DataFrame] = None): DataFrame = {
     val st = stats.getOrElse(dropStats(docs.sparkSession, "minhash"))
     val m = col("members")
+    // gramArr (r14): a caller that already checkpointed the per-doc gram
+    // frame (the oracle-paired queries' truth construct) shares it here,
+    // so the signature pass explodes row-locally from the checkpoint
+    // instead of re-running the gram kernel over the corpus — signatures
+    // bitwise-identical (doc at [[minhashSignaturesArr]])
     val buckets = filterCounting(
-      minhashSignatures(docs, numPerm)
+      gramArr.map(minhashSignaturesArr(_, numPerm))
+        .getOrElse(minhashSignatures(docs, numPerm))
         .select(col("id"), col("mh"), explode(bandKeys(col("mh"), bandRows)).as("bk"))
         .groupBy(col("bk"))
         .agg(collect_list(struct(col("id"), col("mh"))).as("members")),
@@ -483,32 +520,77 @@ object Dedup {
     * the distributed loop costs ~0.6 s/round in driver-synced job
     * overhead REGARDLESS of graph size — profiled 1.7 s on a 256-edge
     * graph, pure fixed cost across the 4 dedup-family bench queries.
-    * The edge frame is materialized (checkpointed) before the loop
+    * The pair frame is materialized (checkpointed) before the loop
     * anyway, so its exact size is one cheap count: at or under
-    * `driverCap` edges (default 2^20 — a ≤16 MB collect, the same order
+    * `driverCap` pairs (default 2^20 — a ≤16 MB collect, the same order
     * Spark itself moves for a broadcast join) and long-typed ids, the
     * components come from driver-side union-find (path-halving +
-    * min-id relabel, microseconds at that size); larger graphs — the
-    * 100 TB case — take the unchanged pointer-jumping loop. Identical
-    * labels by construction (both compute min-id-per-component;
-    * DedupSpec pins the two routes equal on the same graph).
-    * `driverCap = 0` forces the distributed loop.
+    * min-id relabel, microseconds at that size) straight over the
+    * undirected pairs — the bidirectional explode, distinct and dst
+    * repartition are built only on the distributed route (r14); larger
+    * graphs — the 100 TB case — take the unchanged pointer-jumping
+    * loop. Identical labels by construction (both compute
+    * min-id-per-component; DedupSpec pins the two routes equal on the
+    * same graph). `driverCap = 0` forces the distributed loop.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 64,
       driverCap: Long = 1L << 20): DataFrame = {
-    // Both edge directions explode from ONE evaluation of `pairs`: a
-    // union of pairs with pairs-swapped executes the pair-generation
-    // subplan once PER UNION SIDE (minhashPairs' signature/bucket
-    // pipeline is the expensive input here, and exchange reuse does not
-    // fire across the swapped projections — measured ~2s of the dedup
-    // family's bench time). distinct() stays: the operator's contract
-    // only asks for (id_a < id_b) pairs, not uniqueness.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+    // The PAIR frame is what's materialized once (r14): the pair-
+    // generation subplan (minhashPairs' signature/bucket pipeline, or a
+    // truth construct) is the expensive input, and the route census —
+    // previously a count over the exploded+distinct+dst-repartitioned
+    // edge frame — needs only the pair count. Undirected pairs are ALL
+    // the driver union-find needs (duplicates are idempotent, both
+    // endpoints register), so the bidirectional explode, the distinct
+    // (one shuffle) and the dst repartition (another) are now built —
+    // and paid — ONLY on the distributed route that requires them.
+    // Measured r14 at sf0.1: two exchanges + their AQE stage jobs gone
+    // from every driver-routed clusters() call (8 such calls across the
+    // dedup bench family). driverCap now bounds PAIRS, not edges —
+    // pairs ≤ edges ≤ 2·pairs, so the same 2^20 cap keeps the collect
+    // ≤ 16 MB of bare long pairs (the broadcast-join order of driver
+    // traffic documented below).
+    // LAZY checkpoint (r9 VERDICT item 1, toy-SF job floor): the route
+    // census count() below materializes it in the SAME driver round-trip
+    // that an eager checkpoint would have spent on its own dedicated job.
+    val pairsCk = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+
+    val longIds = Seq("id_a", "id_b").forall(c =>
+      pairsCk.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (driverCap > 0 && longIds && pairsCk.count() <= driverCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairsCk.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.LongMap.empty[Long]
+      parent.keys.foreach { id =>
+        val r = find(id)
+        minOf(r) = math.min(minOf.getOrElse(r, id), id)
+      }
+      return parent.keys.toSeq.map(id => (id, minOf(find(id))))
+        .toDF("id", "cluster")
+    }
+
+    // ---- distributed route (the 100 TB path) -------------------------
+    // Both edge directions explode from the materialized pair frame (one
+    // evaluation of the pair-generation subplan either way; a union of
+    // pairs with pairs-swapped would have executed it once PER UNION
+    // SIDE — measured ~2s of the dedup family's bench time in r7).
+    // distinct() stays: the operator's contract only asks for
+    // (id_a < id_b) pairs, not uniqueness.
     // Pointer-jumping propagation: each round takes (a) the min over
     // 1-hop neighbors AND (b) the label OF the current label (path
     // compression) — chains collapse in O(log diameter) rounds, so
@@ -530,41 +612,13 @@ object Dedup {
     //    round and tested with a narrow limit-1 scan of the round's own
     //    just-materialized checkpoint — the exceptAll comparison launched
     //    an extra full two-sided shuffle job every round.
-    // LAZY checkpoint (r9 VERDICT item 1, toy-SF job floor): the route
-    // census count() below — or, when the census is skipped, the first
-    // full-scan consumer (the driver collect / the labels-init distinct)
-    // — materializes it in the SAME driver round-trip that an eager
-    // checkpoint would have spent on its own dedicated job
-    val edgesCk = edges.repartition(col("dst")).localCheckpoint(false)
-
-    val longIds = Seq("src", "dst").forall(c =>
-      edgesCk.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (driverCap > 0 && longIds && edgesCk.count() <= driverCap) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      edgesCk.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(ra) = rb
-      }
-      val minOf = scala.collection.mutable.LongMap.empty[Long]
-      parent.keys.foreach { id =>
-        val r = find(id)
-        minOf(r) = math.min(minOf.getOrElse(r, id), id)
-      }
-      return parent.keys.toSeq.map(id => (id, minOf(find(id))))
-        .toDF("id", "cluster")
-    }
+    val edgesCk = pairsCk
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .repartition(col("dst")).localCheckpoint(false)
 
     var labels = edgesCk.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -616,9 +670,10 @@ object Dedup {
     * bucketed/keyed shape pinned by its own spec, and the final keep is a
     * left join against the (far smaller) label table.
     */
-  def survivors(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def survivors(docs: DataFrame, threshold: Double = 0.5,
+      gramArr: Option[DataFrame] = None): DataFrame = {
     val labels = clusters(minhashPairs(
-      docs.select(col("id"), col("text")), threshold))
+      docs.select(col("id"), col("text")), threshold, gramArr = gramArr))
     docs.join(labels, Seq("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("id"))
       .drop("cluster")

@@ -80,17 +80,29 @@ object TextQueries {
     */
   private def survivorsAgainstTruth(s: org.apache.spark.sql.SparkSession,
       d: String,
-      realPipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      realPipeline: (org.apache.spark.sql.DataFrame,
+        Option[org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame,
       flagName: String): org.apache.spark.sql.DataFrame = {
     val docsL = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text"), col("lang"))
-    val truth = Dedup.exactJaccardWindowPairs(
-      docsL.select(col("id"), col("text")), tau = 0.5, window = 200)
+    // ONE gram-kernel pass shared by the truth frame and the real
+    // pipeline's minhash signatures (r14 — doc at
+    // Dedup.exactJaccardWindowPairsArr); eager for the same AQE-race
+    // reason as the operator default (TruthArrProbe). The kernel input —
+    // and ONLY it — is spreadSmall'd: the checkpoint is the corpus' one
+    // kernel pass, while docsL's other consumers are id-joins that would
+    // pay the extra exchange for nothing (measured r14: spreading docsL
+    // itself put q_dedup_pipeline from 4.5 to ~6.5 s)
+    val gramArr = Dedup.gramHashSets(Tables.spreadSmall(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text")))
+      .localCheckpoint(true)
+    val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
+      window = 200)
     val labels = Dedup.clusters(truth).localCheckpoint(false)
     val declared = docsL.join(labels, Seq("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("id"))
       .select(col("id").as("doc_id"), col("lang"))
-    val real = realPipeline(docsL)
+    val real = realPipeline(docsL, Some(gramArr))
       .select(col("id").as("doc_id"), lit(1).as("__rs"))
       .localCheckpoint(false) // feeds both flag arms
     val marked = declared.join(real, Seq("doc_id"), "left")
@@ -355,9 +367,15 @@ reach(src, dst) AS (
     WHERE e.dst <> r.src)
 SELECT src AS id, least(src, min(dst)) AS cluster, TRUE AS minhash_cluster_ok
 FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
+      // one shared gram-kernel pass (spreadSmall'd input) for truth AND
+      // the flag pipeline's minhash signatures (r14)
       val docs = Tables.documents(s, d)
         .select(col("doc_id").as("id"), col("text"))
-      val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
+      val gramArr = Dedup.gramHashSets(Tables.spreadSmall(s, d, "documents")
+          .select(col("doc_id").as("id"), col("text")))
+        .localCheckpoint(true)
+      val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
+          window = 200)
         .localCheckpoint(false) // feeds the CC operator AND the flag
       val declared = Dedup.clusters(truth)
       // truth-restricted agreement (r12, VERDICT r11 item 1): the flag
@@ -366,7 +384,8 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       // value-identical, and no caller checkpoint (the helper consumes
       // the assignment subplan exactly once)
       val flag = Dedup.clusterAgreementFlag(truth,
-        Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5)),
+        Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5,
+          gramArr = Some(gramArr))),
         bound = 0.7, name = "minhash_cluster_ok")
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
@@ -405,9 +424,17 @@ reach(src, dst) AS (
     WHERE e.dst <> r.src)
 SELECT src AS id, least(src, min(dst)) AS cluster, TRUE AS exact_first_cluster_ok
 FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
+      // the truth gram pass runs over a spreadSmall'd scan; the flag's
+      // exact-first composition collapses identical texts BEFORE
+      // shingling (rep-level gram pass — a different doc set), so it
+      // keeps the plain scan (its docs consumers are joins/aggregates
+      // where the spread exchange is pure overhead)
       val docs = Tables.documents(s, d)
         .select(col("doc_id").as("id"), col("text"))
-      val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
+      val truth = Dedup.exactJaccardWindowPairs(
+          Tables.spreadSmall(s, d, "documents")
+            .select(col("doc_id").as("id"), col("text")),
+          tau = 0.5, window = 200)
         .localCheckpoint(false)
       val declared = Dedup.clusters(truth)
       // truth-restricted agreement (r12, VERDICT r11 item 1): on the
@@ -599,7 +626,8 @@ ORDER BY id_a, id_b""") { (s, d) =>
       // engine never materializes a gram string (machinery shared with
       // the minhash/simhash truth frames: Dedup.exactJaccardWindowPairs)
       Dedup.exactJaccardWindowPairs(
-        Tables.documents(s, d).select(col("doc_id").as("id"), col("text")),
+        Tables.spreadSmall(s, d, "documents")
+          .select(col("doc_id").as("id"), col("text")),
         tau = 0.8, window = 5)
         .orderBy("id_a", "id_b")
     },
@@ -635,12 +663,20 @@ FROM grams a JOIN grams b
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ORDER BY id_a, id_b""") { (s, d) =>
+      // one shared gram-kernel pass for truth AND candidate signatures
+      // (r14 — doc at Dedup.exactJaccardWindowPairsArr); the kernel input
+      // is spreadSmall'd so the pass runs on all cores
       val docs = Tables.documents(s, d)
         .select(col("doc_id").as("id"), col("text"))
-      val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
+      val gramArr = Dedup.gramHashSets(Tables.spreadSmall(s, d, "documents")
+          .select(col("doc_id").as("id"), col("text")))
+        .localCheckpoint(true)
+      val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
+        window = 200)
       // same blocking universe as the truth frame: candidates outside the
       // window are neither hits nor misses
-      val cand = Dedup.minhashPairs(docs, threshold = 0.5)
+      val cand = Dedup.minhashPairs(docs, threshold = 0.5,
+          gramArr = Some(gramArr))
         .filter(col("id_b") - col("id_a") <= 200)
       Dedup.withPairRecallFlag(truth, cand, 0.7, "minhash_recall_ok")
         .orderBy("id_a", "id_b")
@@ -675,7 +711,11 @@ FROM grams a JOIN grams b
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ORDER BY id_a, id_b""") { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // spreadSmall parallelizes both the truth gram pass and the simhash
+      // word-explode signature pass (simhash hashes WORDS, not grams, so
+      // the gram frame itself cannot be shared with the candidates);
+      // kernels are `docs`' only consumers here, so spreading it is safe
+      val docs = Tables.spreadSmall(s, d, "documents")
         .select(col("doc_id").as("id"), col("text"))
       val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
       val cand = Dedup.simhashPairs(docs, maxDist = 3)
@@ -800,7 +840,9 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE cluster <> id)
 ORDER BY doc_id""") { (s, d) =>
       survivorsAgainstTruth(s, d,
-        real => graft.operators.Dedup.survivors(real, threshold = 0.5),
+        (real, arr) =>
+          graft.operators.Dedup.survivors(real, threshold = 0.5,
+            gramArr = arr),
         "pipeline_agree_ok")
     },
 
@@ -841,7 +883,11 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE cluster <> id)
 ORDER BY doc_id""") { (s, d) =>
       survivorsAgainstTruth(s, d,
-        real => graft.operators.Dedup.survivorsExactFirst(real, threshold = 0.5),
+        // exact-first collapses identical texts to reps BEFORE shingling —
+        // its rep-level gram pass is a different doc set, so the shared
+        // corpus-level gram frame does not apply here
+        (real, _) =>
+          graft.operators.Dedup.survivorsExactFirst(real, threshold = 0.5),
         "pipeline_exact_first_ok")
     },
 

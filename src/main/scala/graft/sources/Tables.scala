@@ -34,7 +34,7 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = { cache.clear(); sizeCache.clear() }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // drop entries of stopped sessions (their cached plans pin the old
@@ -72,6 +72,49 @@ object Tables {
               "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => df
     }
+
+  /** On-disk byte size of `dir/name.parquet` (file or directory), cached —
+    * the [[spreadSmall]] decision input. Long.MaxValue on any error (the
+    * caller then never repartitions — safe degradation for exotic FS).
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tableBytes(s: SparkSession, d: String, name: String): Long =
+    sizeCache.computeIfAbsent(s"$d/$name.parquet", path =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
+
+  /** Scale-adaptive kernel parallelization of a small scan (opt guide
+    * §2.5 input skew / §1.2 step 1, r14): when the table's on-disk bytes
+    * sit under cores × openCostInBytes, Spark's split packing gives the
+    * scan FEWER TASKS THAN CORES (the 4 MB open-cost floor makes any such
+    * file a handful of splits, and a single-row-group parquet file is ONE
+    * task however it splits) — so an expensive per-row kernel downstream
+    * (gram hashing, 64-slot minhash/simhash signatures, LSH bucketing)
+    * runs on one core while the rest idle. Measured r14 at sf0.1: the
+    * dedup truth-frame gram checkpoint was a single 400 ms task on a
+    * 584 KB documents scan with 31 cores idle. In that regime this
+    * returns `df.repartition(cores)` — a sub-(cores×4 MB) round-robin
+    * exchange, trivial next to the kernel win; above the threshold the
+    * frame passes through UNTOUCHED (no plan change, no shuffle — the
+    * 100 TB scan already carries thousands of partitions). The decision
+    * reads only the input's on-disk size: deterministic, no data cached,
+    * results unchanged (consumers are aggregates/joins — row order never
+    * reaches a declared output). Column pruning survives (Catalyst pushes
+    * projections below a round-robin repartition), and AQE respects the
+    * explicit partition count.
+    */
+  def spreadSmall(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = load(s, d, name)
+    val cores = s.sparkContext.defaultParallelism
+    val openCost = s.sessionState.conf.filesOpenCostInBytes
+    if (tableBytes(s, d, name) < cores.toLong * openCost)
+      df.repartition(cores)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
