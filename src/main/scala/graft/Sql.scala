@@ -15,6 +15,20 @@ object Sql {
     Catalog.tableNames.foreach {
       // events goes through the nanos->micros timestamp normalization
       case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      // the lineitem view carries the scale-adaptive small-scan spread
+      // (r14, doc at Tables.spreadSmall): a single-row-group sub-128 MB
+      // file otherwise runs every SQL query's scan-side work (decimal
+      // casts, partial aggregation, join-shuffle writes) on one task —
+      // and the hash-on-l_orderkey exchange doubles as Q18/Q3's join
+      // distribution (measured r14: q18 1.67→0.92 s, q1 1.30→0.84 s).
+      // At scale the spread is a no-op, so the SQL surface still reaches
+      // the same plans as the DataFrame surface. Filters keep pushing to
+      // the parquet scan below the exchange (PlanSpec pins Q6). `orders`
+      // was tried and reverted: its SQL consumers are cheap aggregates /
+      // dim-side joins, where the exchange measured as pure overhead
+      // (grouping_sets ×2.5).
+      case t @ "lineitem" =>
+        Tables.spreadSmall(spark, dir, t).createOrReplaceTempView(t)
       case t => Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }
     CalTopoFeatures.build(spark, dir)

@@ -123,7 +123,7 @@ FROM features ORDER BY id""") { (s, d) =>
       s"""WITH $featuresCte
 SELECT id, class, title, updated, stroke_opacity, visible, geom_type
 FROM features ORDER BY id""") { (s, d) =>
-      CalTopoFeatures.jsonRoundTrip(CalTopoFeatures.build(s, d))
+      CalTopoFeatures.jsonRoundTrip(CalTopoFeatures.build(s, d, spread = true))
         .select(col("id"), col("class"), col("title"), col("updated"),
           col("stroke_opacity"), col("visible"),
           col("geometry.type").as("geom_type"))
@@ -200,7 +200,8 @@ FROM features WHERE $mainWhere ORDER BY id""") { (s, d) =>
     // last polygon, so the rank-4 branch is genuinely exercised).
     Q("coord_truncate", coordTruncateSql) { (s, d) =>
       val df = CalTopo.coordTruncate(
-        CalTopo.projectNest(CalTopo.mainFlow(CalTopoFeatures.build(s, d))))
+        CalTopo.projectNest(CalTopo.mainFlow(
+          CalTopoFeatures.build(s, d, spread = true))))
       truncatedScalars(df)
     },
 

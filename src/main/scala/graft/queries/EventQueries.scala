@@ -93,7 +93,7 @@ GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
   json_extract_string(props, '$.k') IS NOT NULL AS has_k
 FROM events ORDER BY event_id""") { (s, d) =>
-      Tables.events(s, d)
+      Tables.spreadSmall(s, d, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"),
           get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
@@ -109,7 +109,7 @@ FROM events ORDER BY event_id""") { (s, d) =>
 FROM events ORDER BY event_id""") { (s, d) =>
       val m = from_json(col("props"), "map<string,string>",
         Map.empty[String, String])
-      Tables.events(s, d)
+      Tables.spreadSmall(s, d, "events")
         .select(col("event_id"),
           element_at(m, "k").cast("int").as("k_val"),
           size(map_keys(m)).as("n_keys"),

@@ -28,7 +28,7 @@ object ExtraQueries {
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
-      Tables.orders(s, d)
+      Tables.spreadSmall(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -280,7 +280,7 @@ ORDER BY p.event_id""") { (s, d) =>
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS F,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS O
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spreadSmall(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
@@ -353,7 +353,7 @@ ORDER BY o_orderkey""") { (s, d) =>
 SELECT l_returnflag, status, qty
 FROM wide UNPIVOT INCLUDE NULLS (qty FOR status IN (F, O))
 ORDER BY l_returnflag, status""") { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spreadSmall(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
@@ -370,7 +370,8 @@ ORDER BY l_returnflag, status""") { (s, d) =>
     // ExtraSpec).
     Q("q_udf_geo_truncate", CalTopoQueries.coordTruncateSql) { (s, d) =>
       val truncUdf = udf(truncateCoordsJson)
-      val df = CalTopo.projectNest(CalTopo.mainFlow(CalTopoFeatures.build(s, d)))
+      val df = CalTopo.projectNest(CalTopo.mainFlow(
+        CalTopoFeatures.build(s, d, spread = true)))
         .withColumn("geometry",
           struct(col("geometry.type").as("type"),
             truncUdf(col("geometry.coordinates")).as("coordinates")))

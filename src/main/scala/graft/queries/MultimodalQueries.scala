@@ -50,7 +50,7 @@ SELECT media_id, 'png' AS format, width, height,
              1, width * height)) AS pixel_md5
 FROM m ORDER BY media_id""") { (s, d) =>
       Multimodal.decodeImages(s,
-          Multimodal.imageTable(Tables.documents(s, d)))
+          Multimodal.imageTable(Tables.spreadSmall(s, d, "documents")))
         .toDF()
         .orderBy("media_id")
     },

@@ -59,7 +59,7 @@ ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spreadSmall(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -93,7 +93,7 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (s, d) =>
-      Tables.orders(s, d)
+      Tables.spreadSmall(s, d, "orders")
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
@@ -374,7 +374,7 @@ FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""") { (s, d) =>
     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       val wavg = udaf(WeightedAvg)
-      Tables.lineitem(s, d)
+      Tables.spreadSmall(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(wavg(dec2(col("l_extendedprice")), dec2(col("l_quantity")))
           .as("wavg_price"))

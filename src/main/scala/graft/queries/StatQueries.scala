@@ -106,7 +106,7 @@ FROM top JOIN dup USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       val bi = arrays_zip(
         slice(l, lit(1), greatest(size(l) - 1, lit(0))),
         slice(l, lit(2), greatest(size(l) - 1, lit(0))))
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spreadSmall(s, d, "documents")
       val unigrams = docs.select(col("doc_id"), lit(0).as("kind"),
         explode(l).as("tok"))
       val bigrams = docs.select(col("doc_id"), lit(1).as("kind"),
@@ -158,7 +158,7 @@ SELECT l_returnflag, n,
 FROM s ORDER BY l_returnflag""") { (s, d) =>
       val qd = col("l_quantity").cast("decimal(18,2)")
       val pd = col("l_extendedprice").cast("decimal(18,2)")
-      val sums = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      val sums = Tables.spreadSmall(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(qd).as("sx"), sum(pd).as("sy"),
           sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),

@@ -32,8 +32,17 @@ object CalTopoFeatures {
     * build the feature table and, in tests, to cross-check the JSON round
     * trip.
     */
-  def build(spark: SparkSession, dir: String): DataFrame = {
-    val part = Tables.part(spark, dir)
+  def build(spark: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame = {
+    // spread=true (r14): hash-repartition a small `part` scan to the core
+    // count (Tables.spreadSmall; no-op at scale) — for the consumers that
+    // run heavy per-row kernels over the feature rows (the from_json
+    // round trip of typed_decode, the coordinate truncation walks); the
+    // cheap consumers (plain projections/joins + orderBy) keep the
+    // default false, where the exchange was measured as pure overhead
+    // (×2–2.8 on their sub-second cells)
+    val part = if (spread) Tables.spreadSmall(spark, dir, "part")
+               else Tables.part(spark, dir)
     val region = Tables.region(spark, dir)
 
     val folders = region.select(

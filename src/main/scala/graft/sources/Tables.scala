@@ -87,32 +87,56 @@ object Tables {
           .getContentSummary(p).getLength
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
 
+  /** Natural key column per table — [[spreadSmall]]'s hash-partition key.
+    * Keys are unique (or near-unique) longs, so hashing them spreads rows
+    * evenly over the cores; hash repartition skips the local
+    * sort-before-repartition that a round-robin `repartition(n)` pays
+    * (SPARK-23207 retry determinism — hash placement is already
+    * deterministic), and a downstream join/window/aggregate keyed on the
+    * SAME column reuses the spread exchange outright (q18's
+    * lineitem⋈orders spine, the five-gram window by doc_id).
+    */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "documents" -> "doc_id",
+    "events" -> "event_id", "embeddings" -> "vec_id")
+
   /** Scale-adaptive kernel parallelization of a small scan (opt guide
     * §2.5 input skew / §1.2 step 1, r14): when the table's on-disk bytes
     * sit under cores × openCostInBytes, Spark's split packing gives the
     * scan FEWER TASKS THAN CORES (the 4 MB open-cost floor makes any such
     * file a handful of splits, and a single-row-group parquet file is ONE
     * task however it splits) — so an expensive per-row kernel downstream
-    * (gram hashing, 64-slot minhash/simhash signatures, LSH bucketing)
-    * runs on one core while the rest idle. Measured r14 at sf0.1: the
-    * dedup truth-frame gram checkpoint was a single 400 ms task on a
-    * 584 KB documents scan with 31 cores idle. In that regime this
-    * returns `df.repartition(cores)` — a sub-(cores×4 MB) round-robin
-    * exchange, trivial next to the kernel win; above the threshold the
-    * frame passes through UNTOUCHED (no plan change, no shuffle — the
-    * 100 TB scan already carries thousands of partitions). The decision
-    * reads only the input's on-disk size: deterministic, no data cached,
-    * results unchanged (consumers are aggregates/joins — row order never
-    * reaches a declared output). Column pruning survives (Catalyst pushes
-    * projections below a round-robin repartition), and AQE respects the
-    * explicit partition count.
+    * (gram hashing, 64-slot minhash/simhash signatures, JSON round
+    * trips, decimal aggregation) runs on one core while the rest idle.
+    * Measured r14 at sf0.1: the dedup truth-frame gram checkpoint was a
+    * single 400 ms task on a 584 KB documents scan with 31 cores idle.
+    * In that regime this returns the frame hash-repartitioned to the
+    * core count on the table's natural key ([[spreadKey]]) — a
+    * sub-(cores×4 MB) exchange with no pre-sort, trivial next to the
+    * kernel win; above the threshold the frame passes through UNTOUCHED
+    * (no plan change, no shuffle — the 100 TB scan already carries
+    * thousands of partitions). The decision reads only the input's
+    * on-disk size: deterministic, no data cached, results unchanged
+    * (consumers are aggregates/joins — row order never reaches a
+    * declared output). Column pruning survives (Catalyst pushes
+    * projections below a repartition), filters still push to the parquet
+    * scan below the exchange (PlanSpec pins Q6), and AQE respects the
+    * explicit partition count. APPLY SELECTIVELY: the exchange plus its
+    * AQE stage jobs cost ~0.1–0.2 s at bench SFs, so only queries whose
+    * per-row kernel clearly dominates carry it (measured r14: spreading
+    * cheap-kernel scans — count-only validation, octet_length/md5
+    * projections — regressed those cells 2–4×).
     */
   def spreadSmall(s: SparkSession, d: String, name: String): DataFrame = {
-    val df = load(s, d, name)
+    // route through the same public loaders so events keeps its
+    // nanos->micros ts normalization
+    val df = if (name == "events") events(s, d) else load(s, d, name)
     val cores = s.sparkContext.defaultParallelism
     val openCost = s.sessionState.conf.filesOpenCostInBytes
     if (tableBytes(s, d, name) < cores.toLong * openCost)
-      df.repartition(cores)
+      df.repartition(cores, org.apache.spark.sql.functions.col(spreadKey(name)))
     else df
   }
 
