@@ -48,7 +48,7 @@ object TextQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seq5 = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.spreadSmall(s, d, "documents")
+    Tables.documents(s, d)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .select(col("doc_id"), col("w"),
@@ -290,7 +290,7 @@ scored AS (
 SELECT doc_id, word, score FROM ranked WHERE rn <= 3
 ORDER BY doc_id, score DESC, word""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.spreadSmall(s, d, "documents")
+      val docs = Tables.documents(s, d)
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
       val tf = words.groupBy(col("doc_id"), col("word"))
