@@ -44,15 +44,15 @@ class JobBudgetSpec extends SparkSpec {
     "q_dedup_pipeline_exact_first" -> 29, // r10 oracle pairing; r13
                                 // re-record at measured 32 (same change)
     "q_event_resample" -> 4,
-    "q_knn_ivf" -> 16,
-    "q_knn_lsh" -> 15,
-    "q_knn_lsh_dedup" -> 24,    // r10 oracle pairing: + exact batch & flag
+    "q_knn_ivf" -> 12,
+    "q_knn_lsh" -> 12,
+    "q_knn_lsh_dedup" -> 21,    // r10 oracle pairing: + exact batch & flag
     "q_ntile" -> 8,
-    "q_ntile_approx" -> 23,
-    "q_percentile" -> 20,
-    "q_percentile_approx" -> 22,
+    "q_ntile_approx" -> 19,
+    "q_percentile" -> 17,
+    "q_percentile_approx" -> 19,
     "q_sample_mixture" -> 7,
-    "q_text_tfidf" -> 11)
+    "q_text_tfidf" -> 9)
 
   /** Ceilings include AQE stage jobs, so they are Spark-version- and
     * AQE-heuristic-sensitive (ADVICE r10): a patch upgrade can legally add

@@ -20,14 +20,14 @@ class ShuffleBudgetSpec extends SparkSpec {
   // ReuseExchange, so a plan's +N Exchange nodes execute one extra
   // round-robin pass. Per-query before/after seconds in OPTIMIZATION_r14.md.
   private val budget: Map[String, Int] = Map(
-    "coalesce_default" -> 2,
+    "coalesce_default" -> 1,
     "coord_truncate" -> 2,
-    "filter_geometry" -> 2,
-    "flagship" -> 3,
+    "filter_geometry" -> 1,
+    "flagship" -> 2,
     "folder_dim" -> 1,
-    "folder_join" -> 3,
-    "point_enrich" -> 2,
-    "project_nest" -> 2,
+    "folder_join" -> 2,
+    "point_enrich" -> 1,
+    "project_nest" -> 1,
     // r7 re-record 2 -> 3: oracle-pairing added the exact COUNT(DISTINCT)
     // beside the HLL (the within_5pct contract needs both); a distinct
     // aggregate is inherently two-phase (+1 Exchange on the distinct key)
@@ -35,7 +35,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_agg_strings" -> 3,
     "q_agg_distinct" -> 3,
     "q_agg_hash" -> 3,
-    "q_array_funcs" -> 2,
+    "q_array_funcs" -> 1,
     "q_cube" -> 3,
     "q_date_funcs" -> 2,
     // r10 re-record 1 -> 5: oracle pairing — the declared CC runs on the
@@ -49,7 +49,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // cell's dominant shuffle; CC internals hide behind checkpoints)
     "q_dedup_clusters_exact_first" -> 7, // r10 oracle pairing — see q_dedup_clusters
     "q_dedup_embedding" -> 2,
-    "q_dedup_exact" -> 3,
+    "q_dedup_exact" -> 2,
     // r10 re-record 4 -> 3: the oracle-paired form's VISIBLE plan is the
     // lazy-checkpointed truth⋈candidates mark frame (operator + truth
     // internals hide behind that boundary — both audited via the raw
@@ -70,7 +70,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // shuffle-by-id semi join; CC internals hide behind checkpoints)
     "q_dedup_pipeline_exact_first" -> 6, // r10 oracle pairing
     "q_dedup_simhash" -> 3, // r10 oracle pairing — see q_dedup_minhash
-    "q_dedup_wordset" -> 3,
+    "q_dedup_wordset" -> 2,
     "q_event_funnel" -> 13,
     "q_event_retention" -> 4,
     "q_event_histogram" -> 2,
@@ -78,7 +78,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_except" -> 3,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,
-    "q_hof_funcs" -> 2,
+    "q_hof_funcs" -> 1,
     "q_intersect" -> 3,
     "q_intersect_all" -> 2,
     "q_join_anti" -> 2,
@@ -103,8 +103,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // broadcast + per-probe window) and the flag join/window — every
     // added exchange moves only sample-bounded frames (≤ probes × k
     // rows), never the corpus
-    "q_knn_ivf" -> 17,
-    "q_knn_lsh" -> 17,
+    "q_knn_ivf" -> 12,
+    "q_knn_lsh" -> 11,
     // dedup-before-index: rep-level bucket join + group ranking window +
     // rep-level candidate ranking + bounded-array expansion join; the
     // BottomIds groups aggregate hides behind the lazy localCheckpoint
@@ -116,14 +116,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     // r10 re-record 10 -> 15: oracle pairing composes the operator (10)
     // with the exact probe batch + recall-flag join/window (the q_knn_lsh
     // shape) — added exchanges move sample-bounded frames only
-    "q_knn_lsh_dedup" -> 17,
+    "q_knn_lsh_dedup" -> 15,
     "q_map_funcs" -> 2,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
-    "q_multimodal_audio" -> 2,
-    "q_multimodal_binary" -> 2,
+    "q_multimodal_audio" -> 1,
+    "q_multimodal_binary" -> 1,
     "q_multimodal_decode" -> 2,
-    "q_multimodal_frames" -> 2,
+    "q_multimodal_frames" -> 1,
     "q_multimodal_join" -> 2,
     // r7: Ntile.exact routes by measured group size. At this spec's scale
     // every group is under windowCap, so the visible plan is the WINDOW
@@ -137,30 +137,30 @@ class ShuffleBudgetSpec extends SparkSpec {
     // output sort; the operator's sketch/probe passes hide behind its
     // internal checkpoints (data-scale shuffles audited in PercentileSpec
     // shapes, not here); no per-group window anywhere
-    "q_ntile_approx" -> 10,
+    "q_ntile_approx" -> 8,
 
-    "q_pack_sequences" -> 3,
-    "q_percentile" -> 7, // Percentiles.exact final plan: slice agg on the data (the one data-scale shuffle) + two broadcasts + state⋈slices SMJ + pivot agg + output sort — state/slices frames are group-count-sized, not data-sized; sketch+probe passes ran eagerly at build (checkpointed)
+    "q_pack_sequences" -> 2,
+    "q_percentile" -> 6, // Percentiles.exact final plan: slice agg on the data (the one data-scale shuffle) + two broadcasts + state⋈slices SMJ + pivot agg + output sort — state/slices frames are group-count-sized, not data-sized; sketch+probe passes ran eagerly at build (checkpointed)
     // r9 re-record 2 -> 10: oracle-pairing (VERDICT r8 item 2) composed
     // the exact machinery (q_percentile's 6) with the sketch aggregate
     // (+1), its broadcast to the rank-count pass (+1), the rank-count
     // aggregate (+1), and the flag frame's broadcast (+1)
     "q_percentile_approx" -> 10,
     "q_pipeline_decontaminate" -> 5,
-    "q_pipeline_training_prep" -> 4,
+    "q_pipeline_training_prep" -> 3,
     "q_pivot" -> 4,
     "q_rollup" -> 6,
     "q_sample_hash" -> 1,
     "q_sample_mixture" -> 6,
     "q_sample_stratified" -> 2,
-    "q_skew_agg" -> 4,
-    "q_sql_exists" -> 3,
-    "q_sql_grouping_sets" -> 3,
+    "q_skew_agg" -> 3,
+    "q_sql_exists" -> 2,
+    "q_sql_grouping_sets" -> 2,
     "q_stats_corr" -> 3,
     "q_sql_tpch_q1" -> 3,
-    "q_sql_tpch_q18" -> 11,
-    "q_sql_tpch_q3" -> 5,
-    "q_sql_tpch_q5" -> 9,
+    "q_sql_tpch_q18" -> 8,
+    "q_sql_tpch_q3" -> 4,
+    "q_sql_tpch_q5" -> 8,
     "q_sql_tpch_q6" -> 2,
     "q_stream_dedup" -> 2,
     "q_stream_join" -> 2,
@@ -168,37 +168,37 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_stream_sliding" -> 2,
     "q_stream_tumbling" -> 2,
     "q_string_funcs" -> 1,
-    "q_text_chunk" -> 2,
+    "q_text_chunk" -> 1,
     "q_text_contamination" -> 5,
-    "q_text_fingerprint" -> 2,
-    "q_text_langid" -> 2,
-    "q_text_quality" -> 2,
+    "q_text_fingerprint" -> 1,
+    "q_text_langid" -> 1,
+    "q_text_quality" -> 1,
     "q_text_repetition" -> 5,
-    "q_text_stats" -> 3,
+    "q_text_stats" -> 2,
     // 8 = tf shuffle ×2 (the df-count branch re-derives tf — column
     // pruning specializes the subplans past ReuseExchange; the second
     // tokenize pass measured CHEAPER at sf10/sf100 than the window
     // form's full-corpus sort-by-word it replaced, 11.7→5.5 s / 240→153 s)
     // + df word shuffle + its broadcast + the single-row N broadcast +
     // N's scalar agg + doc_id window shuffle + final orderBy range
-    "q_text_tfidf" -> 11,
-    "q_text_tokens" -> 2,
-    "q_text_tokens_bpe" -> 2,
-    "q_text_vocab" -> 4, // word-count shuffle + scalar-total single partition + its broadcast; top-50 is TakeOrderedAndProject (no sort exchange), window runs on the already-single-partition 50-row join output
+    "q_text_tfidf" -> 8,
+    "q_text_tokens" -> 1,
+    "q_text_tokens_bpe" -> 1,
+    "q_text_vocab" -> 3, // word-count shuffle + scalar-total single partition + its broadcast; top-50 is TakeOrderedAndProject (no sort exchange), window runs on the already-single-partition 50-row join output
     "q_topk" -> 0,
     "q_udaf_weighted_avg" -> 3,
     "q_udf_geo_truncate" -> 2,
     "q_udtf_flatmap" -> 1,
     "q_union" -> 1,
     "q_unpivot" -> 4,
-    "q_validate" -> 2,
+    "q_validate" -> 1,
     "q_vector_norm" -> 1,
     "q_window_frame" -> 2,
     "q_window_udaf" -> 2,
     "q_window_rank" -> 2,
-    "q_zorder_key" -> 2,
-    "scan_source" -> 2,
-    "style_casts" -> 2,
+    "q_zorder_key" -> 1,
+    "scan_source" -> 1,
+    "style_casts" -> 1,
     "typed_decode" -> 2)
 
   test("no registry query plans more Exchanges than its recorded budget") {
