@@ -102,7 +102,10 @@ object TextQueries {
     val declared = docsL.join(labels, Seq("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("id"))
       .select(col("id").as("doc_id"), col("lang"))
-    val real = realPipeline(docsL, Some(gramArr))
+    // real pipeline recomputes its gram kernel (candidate-side share
+    // reverted after the sf10 probe — see q_dedup_minhash); the shared
+    // frame still serves the truth construct above
+    val real = realPipeline(docsL, None)
       .select(col("id").as("doc_id"), lit(1).as("__rs"))
       .localCheckpoint(false) // feeds both flag arms
     val marked = declared.join(real, Seq("doc_id"), "left")
@@ -383,9 +386,10 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       // label frame is semi-filtered to them before the endpoint joins —
       // value-identical, and no caller checkpoint (the helper consumes
       // the assignment subplan exactly once)
+      // flag pipeline recomputes the gram kernel (candidate-side share
+      // reverted after the sf10 probe — see q_dedup_minhash)
       val flag = Dedup.clusterAgreementFlag(truth,
-        Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5,
-          gramArr = Some(gramArr))),
+        Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5)),
         bound = 0.7, name = "minhash_cluster_ok")
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
@@ -674,9 +678,14 @@ ORDER BY id_a, id_b""") { (s, d) =>
       val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
         window = 200)
       // same blocking universe as the truth frame: candidates outside the
-      // window are neither hits nor misses
-      val cand = Dedup.minhashPairs(docs, threshold = 0.5,
-          gramArr = Some(gramArr))
+      // window are neither hits nor misses. The candidate signature pass
+      // RECOMPUTES the gram kernel rather than reading the truth frame's
+      // checkpoint: sharing was tried (r14) and the sf10 scale probe
+      // falsified it — re-reading ~0.5 GB of materialized gram ARRAYS
+      // cost ~11 s where the fused scan→kernel→partial-agg stage
+      // recomputes them in-stream (47 s vs 36 s, same host, spread ruled
+      // out by the openCostInBytes=1 A/B; OPTIMIZATION_r14.md)
+      val cand = Dedup.minhashPairs(docs, threshold = 0.5)
         .filter(col("id_b") - col("id_a") <= 200)
       Dedup.withPairRecallFlag(truth, cand, 0.7, "minhash_recall_ok")
         .orderBy("id_a", "id_b")
@@ -842,7 +851,7 @@ ORDER BY doc_id""") { (s, d) =>
       survivorsAgainstTruth(s, d,
         (real, arr) =>
           graft.operators.Dedup.survivors(real, threshold = 0.5,
-            gramArr = arr),
+            gramArr = arr), // arr is None post-revert; see the helper
         "pipeline_agree_ok")
     },
 

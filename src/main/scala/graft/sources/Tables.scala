@@ -73,19 +73,22 @@ object Tables {
       case _ => df
     }
 
-  /** On-disk byte size of `dir/name.parquet` (file or directory), cached —
-    * the [[spreadSmall]] decision input. Long.MaxValue on any error (the
-    * caller then never repartitions — safe degradation for exotic FS).
+  /** (bytes, fileCount) of `dir/name.parquet` (file or directory), cached —
+    * the [[spreadSmall]] decision inputs. (Long.MaxValue, Long.MaxValue) on
+    * any error (the caller then never repartitions — safe degradation for
+    * exotic FS).
     */
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def tableBytes(s: SparkSession, d: String, name: String): Long =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def tableStats(s: SparkSession, d: String, name: String): (Long, Long) =
     sizeCache.computeIfAbsent(s"$d/$name.parquet", path =>
       try {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
+        val cs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p)
+        (cs.getLength, cs.getFileCount)
+      } catch { case scala.util.control.NonFatal(_) =>
+        (Long.MaxValue, Long.MaxValue) })
 
   /** Natural key column per table — [[spreadSmall]]'s hash-partition key.
     * Keys are unique (or near-unique) longs, so hashing them spreads rows
@@ -135,7 +138,14 @@ object Tables {
     val df = if (name == "events") events(s, d) else load(s, d, name)
     val cores = s.sparkContext.defaultParallelism
     val openCost = s.sessionState.conf.filesOpenCostInBytes
-    if (tableBytes(s, d, name) < cores.toLong * openCost)
+    val (bytes, files) = tableStats(s, d, name)
+    // BOTH conditions (r14, sf10 probe): small bytes alone admitted the
+    // sf10 mid-range, where the table is a ~100-part-file directory whose
+    // scan is already wider than the cores — the exchange there is pure
+    // overhead (q_dedup_minhash +2–7 s at sf10). A multi-file dir
+    // parallelizes by file (single-row-group files never split further),
+    // so spread only when the file count ALSO sits under the core count.
+    if (bytes < cores.toLong * openCost && files < cores.toLong)
       df.repartition(cores, org.apache.spark.sql.functions.col(spreadKey(name)))
     else df
   }
