@@ -502,6 +502,29 @@ object Bench {
   private def fmt(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** 2-decimal cell format for the BUDGETED stdout line only (VERDICT r14
+    * item 7): ~0.5 s queries near the character cutoff rotated in and out
+    * of the line round-to-round, surfacing as phantom dropped/new rows in
+    * the driver's PERF diff. One char per entry buys a few more slots;
+    * 10 ms granularity is far below the host's measured cell noise.
+    * `bench_full.json` keeps full 3-decimal cells.
+    */
+  private def fmt2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Band-relative total (VERDICT r13 item 1 / r14 item 5): measured total
+    * over the committed quiet reference's `total_s` for the same sf — the
+    * honest cross-round figure. Unlike the spin-normalized value (which
+    * corrected the WRONG direction under bandwidth contention — BASELINE
+    * r13's forced-contention A/B), this makes no host model: >1 means
+    * slower than the committed quiet band, however caused. 0.0 when the
+    * reference doesn't cover this sf (scale dirs) — consistent with every
+    * other reference-gated field. `value_normalized` is demoted to
+    * bench_full.json for continuity.
+    */
+  private[graft] def bandRatio(total: Double, refTotal: Double): Double =
+    if (refTotal > 0.0) total / refTotal else 0.0
+
   /** Data-sized AQE starting partition count: one shuffle partition per
     * ~32 MB of on-disk source bytes, floored at the core count, capped at
     * 32× cores (rationale at the use site in [[main]]). Shared with the
@@ -534,14 +557,14 @@ object Bench {
   private[graft] def compactLine(total: Double, nq: Int, nretried: Int,
       spinMs: Double, membwMs: Double, membwMtMs: Double,
       membwMtEndMs: Double, fsmetaMs: Double, passes: Int,
-      contended: Boolean, sf: String): String =
+      contended: Boolean, bandRatioV: Double, sf: String): String =
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":$nq,""" +
       s""""nretried":$nretried,"spin_ms":${fmt(spinMs)},""" +
       s""""membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},""" +
       s""""membw_mt_end_ms":${fmt(membwMtEndMs)},""" +
       s""""fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,""" +
       s""""contended":$contended,""" +
-      s""""value_normalized":${fmt(normalizedTotal(total, spinMs))},""" +
+      s""""band_ratio":${fmt(bandRatioV)},""" +
       // sfDir is environment input — escape it, or a quote/backslash in
       // the path breaks the very line that must always stay parseable
       s""""sf":${jsonString(sf)}}"""
@@ -755,6 +778,7 @@ object Bench {
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val resJson = resourcePriorJson()
     val mtRef = resJson.map(parsePriorMarker(_, sfBase, "membw_mt_ms")).getOrElse(0.0)
+    val bandRef = resJson.map(parsePriorMarker(_, sfBase, "total_s")).getOrElse(0.0)
     val rawPriors = resJson.map(parsePriors(_, sfBase, 0.0, 0.0))
       .getOrElse(Map.empty[String, Double])
     // ---- Input warm (doc at [[warmInputMs]]) --------------------------
@@ -867,7 +891,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"warm_ms":${fmt(warmMs)},"passes":$passes,"pass2_trigger":${jsonString(pass2Trigger)},"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"pass1_inflation_med":${fmt(inflMedP1)},"sf":${jsonString(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"band_ratio":${fmt(bandRatio(total, bandRef))},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"unit":"sec","queries":$fullJson,"retried":$retriedJson,"retry_threshold_sec":$retrySec,"retry_priors_n":${priors.size},"retry_thresholds":$thresholdsJson,"failures":$failuresJson,"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_mid_ms":${fmt(membwMtMidMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"warm_ms":${fmt(warmMs)},"passes":$passes,"pass2_trigger":${jsonString(pass2Trigger)},"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"pass1_inflation_med":${fmt(inflMedP1)},"sf":${jsonString(sfDir)}}"""
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump: $e") }
     // TWO stdout JSON lines, both inside the driver's 2 KB tail window:
@@ -877,18 +901,19 @@ object Bench {
     // window), then the per-query detail line, budgeted so compact +
     // detail + sbt's trailing "[success] Total time ..." still fit.
     println(compactLine(total, results.size, retriedNames.size, spinMs,
-      membwMs, membwMtMs, membwMtEndMs, fsmetaMs, passes, contended, sfDir))
+      membwMs, membwMtMs, membwMtEndMs, fsmetaMs, passes, contended,
+      bandRatio(total, bandRef), sfDir))
     val ordered = results.sortBy { case (_, v) => (v >= 0, -v) }
     // stdout carries the retry COUNT (full names are in bench_full.json) so
     // the published total's measurement protocol is auditable per run
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nretried":${retriedNames.size},"queries":{"""
     // spin_ms + the spin-normalized total ride the suffix so they survive
     // the driver's tail window even when per-query entries fill the budget
-    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"value_normalized":${fmt(normalizedTotal(total, spinMs))},"sf":${jsonString(sfDir)}}"""
+    val suffix = s"""},"spin_ms":${fmt(spinMs)},"membw_ms":${fmt(membwMs)},"membw_mt_ms":${fmt(membwMtMs)},"membw_mt_end_ms":${fmt(membwMtEndMs)},"fsmeta_ms":${fmt(fsmetaMs)},"passes":$passes,"contended":$contended,"prior_inflation_med":${fmt(inflationMed)},"band_ratio":${fmt(bandRatio(total, bandRef))},"sf":${jsonString(sfDir)}}"""
     var used = prefix.length + suffix.length
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     ordered.foreach { case (k, v) =>
-      val entry = "\"" + k + "\":" + fmt(v)
+      val entry = "\"" + k + "\":" + fmt2(v)
       if (used + entry.length + 1 <= perQueryBudget) { shown += entry; used += entry.length + 1 }
     }
     // one auditable line instead of N 12-line stacks (stderr — it must

@@ -335,17 +335,60 @@ object Dedup {
     */
   def clusterAgreementFlag(truth: DataFrame, assignment: DataFrame,
       bound: Double, name: String,
-      broadcastCap: Long = 1L << 22): DataFrame = {
-    val tids = truth.select(col("id_a").as("id"))
+      broadcastCap: Long = 1L << 22,
+      truthPairs: Option[Long] = None): DataFrame = {
+    // the shared endpoint-join + agg tail: `small` must expose
+    // (id, cluster); `bc` decides whether the endpoint sides broadcast
+    def flagOver(small: DataFrame, bc: Boolean): DataFrame = {
+      def endpoint(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+      truth
+        .join(endpoint(small.select(col("id").as("id_a"), col("cluster").as("__ca"))),
+          Seq("id_a"), "left")
+        .join(endpoint(small.select(col("id").as("id_b"), col("cluster").as("__cb"))),
+          Seq("id_b"), "left")
+        .agg((count(when(col("__ca") === col("__cb"), 1)) >=
+          count(lit(1)).cast("double") * lit(bound)).as(name))
+    }
+    // r15, VERDICT r14 item 1 (LocalRelation-gated censuses): clusters()'
+    // driver union-find route returns a LocalRelation whose exact row
+    // count is driver-resident — ZERO jobs to read it. When it fits the
+    // cap, the semi-join restriction (whose only purpose is shrinking a
+    // CORPUS-sized distributed assignment) and BOTH censuses are skipped
+    // and the endpoint joins broadcast the assignment directly. A left
+    // join reads the same assignment rows either way, so the flag is
+    // value-identical (the restriction itself was pinned value-identical
+    // to the unrestricted form; DedupSpec pins this path against the
+    // census-gated one). The LocalRelation is literal driver data: two
+    // consumers re-read rows, never a subplan.
+    val localRows: Option[Long] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      assignment.queryExecution.analyzed match {
+        case l: LocalRelation             => Some(l.data.size.toLong)
+        case Project(_, l: LocalRelation) => Some(l.data.size.toLong)
+        case _                            => None
+      }
+    }
+    if (localRows.exists(_ <= broadcastCap)) return flagOver(assignment, bc = true)
+    val tidsPlan = truth.select(col("id_a").as("id"))
       .union(truth.select(col("id_b").as("id")))
       .distinct()
-      // LAZY: the census count below materializes it
-      .localCheckpoint(false)
     // census-gated broadcast (the keepIds discipline): tids descends from
     // a checkpointed frame Catalyst has no stats for, and 2^22 bare longs
-    // ≈ 32 MB — pairs ×10/decade keeps it far under the cap through sf1000
-    val fits = tids.count() <= broadcastCap
-    val keys = if (fits) broadcast(tids) else tids
+    // ≈ 32 MB — pairs ×10/decade keeps it far under the cap through
+    // sf1000. r15 fusion: |tids| ≤ 2 × |truth pairs| by construction, so
+    // a caller that already censused its (checkpointed) truth frame
+    // passes the count and the gate needs no job of its own — and with
+    // the count() gone the semi join is tids' ONLY consumer, so the
+    // checkpoint goes too (the distinct subplan executes exactly once,
+    // inside `small`'s materialization).
+    val keys = truthPairs match {
+      case Some(n) if n <= broadcastCap / 2 => broadcast(tidsPlan)
+      case _ =>
+        // LAZY: the census count below materializes it (tids has two
+        // consumers on this path — the count and the semi join)
+        val tids = tidsPlan.localCheckpoint(false)
+        if (tids.count() <= broadcastCap) broadcast(tids) else tids
+    }
     val small = assignment.join(keys, Seq("id"), "left_semi")
       // checkpointed: both endpoint joins below read it in one query
       // execution — without materialization the whole assignment subplan
@@ -362,16 +405,7 @@ object Dedup {
     // silently. The count is one job over a pairs-sized checkpointed
     // frame; the checkpointed sides carry no stats and would otherwise
     // plan as sort-merge, shuffling the pairs-sized truth frame twice.
-    val smallFits = small.count() <= broadcastCap
-    def endpoint(df: DataFrame): DataFrame =
-      if (smallFits) broadcast(df) else df
-    truth
-      .join(endpoint(small.select(col("id").as("id_a"), col("cluster").as("__ca"))),
-        Seq("id_a"), "left")
-      .join(endpoint(small.select(col("id").as("id_b"), col("cluster").as("__cb"))),
-        Seq("id_b"), "left")
-      .agg((count(when(col("__ca") === col("__cb"), 1)) >=
-        count(lit(1)).cast("double") * lit(bound)).as(name))
+    flagOver(small, bc = small.count() <= broadcastCap)
   }
 
   /** (id, mh) signature table. The numPerm signature slots are
@@ -532,9 +566,19 @@ object Dedup {
     * loop. Identical labels by construction (both compute
     * min-id-per-component; DedupSpec pins the two routes equal on the
     * same graph). `driverCap = 0` forces the distributed loop.
+    *
+    * `knownCount` (r15, census fusion — VERDICT r14 item 1): a caller
+    * that has ALREADY materialized `pairs` (checkpointed it) and counted
+    * it passes the count here, and the operator skips both its own
+    * checkpoint and its route census — one fewer materialization pass
+    * and one fewer driver-blocking execution per call. CONTRACT: the
+    * caller must guarantee `pairs` is checkpoint-backed (otherwise the
+    * pair-generation subplan re-executes per consumer below) and that
+    * the count is exact for the frame passed; DedupSpec pins route
+    * equality under `knownCount` against the self-censused form.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 64,
-      driverCap: Long = 1L << 20): DataFrame = {
+      driverCap: Long = 1L << 20, knownCount: Option[Long] = None): DataFrame = {
     // The PAIR frame is what's materialized once (r14): the pair-
     // generation subplan (minhashPairs' signature/bucket pipeline, or a
     // truth construct) is the expensive input, and the route census —
@@ -546,18 +590,29 @@ object Dedup {
     // and paid — ONLY on the distributed route that requires them.
     // Measured r14 at sf0.1: two exchanges + their AQE stage jobs gone
     // from every driver-routed clusters() call (8 such calls across the
-    // dedup bench family). driverCap now bounds PAIRS, not edges —
-    // pairs ≤ edges ≤ 2·pairs, so the same 2^20 cap keeps the collect
-    // ≤ 16 MB of bare long pairs (the broadcast-join order of driver
-    // traffic documented below).
+    // dedup bench family). driverCap now bounds RAW PAIRS as passed —
+    // the operator contract allows duplicate pairs, so the census counts
+    // them too (a duplicate-heavy input can exceed the cap and take the
+    // distributed loop even when its DISTINCT graph would fit: perf-only,
+    // the ≤16 MB collect-size safety always holds — ADVICE r14). For
+    // deduplicated inputs, pairs ≤ edges ≤ 2·pairs, so the same 2^20 cap
+    // keeps the collect ≤ 16 MB of bare long pairs (the broadcast-join
+    // order of driver traffic documented below).
     // LAZY checkpoint (r9 VERDICT item 1, toy-SF job floor): the route
     // census count() below materializes it in the SAME driver round-trip
     // that an eager checkpoint would have spent on its own dedicated job.
-    val pairsCk = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // With a caller-supplied count the projection rides the CALLER'S
+    // checkpoint instead — no second copy of the pair frame is stored and
+    // no second census job runs (r15).
+    val pairsCk = knownCount match {
+      case Some(_) => pairs.select(col("id_a"), col("id_b"))
+      case None    => pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    }
 
     val longIds = Seq("id_a", "id_b").forall(c =>
       pairsCk.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (driverCap > 0 && longIds && pairsCk.count() <= driverCap) {
+    if (driverCap > 0 && longIds &&
+        knownCount.getOrElse(pairsCk.count()) <= driverCap) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]

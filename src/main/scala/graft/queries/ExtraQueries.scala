@@ -28,7 +28,11 @@ object ExtraQueries {
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
-      Tables.spreadSmall(s, d, "orders")
+      // r15: spread REVERTED (r14) — driver ground truth 0.78×, 8-core
+      // ratio 0.85: the cube's Expand already multiplies rows 4× before
+      // the partial agg, so the kernel is cheap relative to the added
+      // exchange (PERF_r14.json; VERDICT r14 item 2)
+      Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -280,7 +284,13 @@ ORDER BY p.event_id""") { (s, d) =>
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS F,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS O
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
-      Tables.spreadSmall(s, d, "lineitem")
+      // r15: spread REVERTED (r14) — driver ground truth 0.62×, 8-core
+      // ratio 0.57 (PERF_r14.json; VERDICT r14 item 2). Its twin q_unpivot
+      // (identical pivot subtree) measured 1.39× IMPROVED on the same
+      // ground truth and keeps the spread — the divergence on identical
+      // shapes shows the spread's margin here sits inside host variance,
+      // so only the cell the driver regressed is reverted.
+      Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))

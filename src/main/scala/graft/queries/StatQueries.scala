@@ -106,7 +106,12 @@ FROM top JOIN dup USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       val bi = arrays_zip(
         slice(l, lit(1), greatest(size(l) - 1, lit(0))),
         slice(l, lit(2), greatest(size(l) - 1, lit(0))))
-      val docs = Tables.spreadSmall(s, d, "documents")
+      // r15: spread REVERTED (r14 added it) — the driver's cross-host
+      // ground truth ran this cell 0.50× with an 8-vs-32-core ratio of
+      // 0.28: the 32-wide spread exchange + its AQE stage jobs under BOTH
+      // explode consumers cost more than the tokenize kernel win
+      // (PERF_r14.json; VERDICT r14 item 2)
+      val docs = Tables.documents(s, d)
       val unigrams = docs.select(col("doc_id"), lit(0).as("kind"),
         explode(l).as("tok"))
       val bigrams = docs.select(col("doc_id"), lit(1).as("kind"),

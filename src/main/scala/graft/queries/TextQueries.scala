@@ -98,7 +98,12 @@ object TextQueries {
       .localCheckpoint(true)
     val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
       window = 200)
-    val labels = Dedup.clusters(truth).localCheckpoint(false)
+    // NO caller checkpoint on the labels (r15): the driver route returns a
+    // LocalRelation (literal driver data — its two consumers below re-read
+    // rows, never a subplan) and the distributed route's labels are the CC
+    // loop's own eager per-round checkpoint — the extra lazy checkpoint
+    // only re-copied either into fresh blocks inside the final execution
+    val labels = Dedup.clusters(truth)
     val declared = docsL.join(labels, Seq("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("id"))
       .select(col("id").as("doc_id"), col("lang"))
@@ -380,7 +385,14 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       val truth = Dedup.exactJaccardWindowPairsArr(gramArr, tau = 0.5,
           window = 200)
         .localCheckpoint(false) // feeds the CC operator AND the flag
-      val declared = Dedup.clusters(truth)
+      // ONE truth census, shared (r15, VERDICT r14 item 1): the count
+      // routes the CC call (knownCount — clusters skips its own
+      // checkpoint + census) AND bounds the flag's tids broadcast
+      // (truthPairs — the tids census is skipped). The flag's
+      // driver-routed minhash assignment is a LocalRelation, so its
+      // censuses are skipped too — 8 driver-blocking executions down to 6.
+      val truthN = truth.count()
+      val declared = Dedup.clusters(truth, knownCount = Some(truthN))
       // truth-restricted agreement (r12, VERDICT r11 item 1): the flag
       // only reads the assignment at truth-pair ids, so the corpus-sized
       // label frame is semi-filtered to them before the endpoint joins —
@@ -390,7 +402,7 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       // reverted after the sf10 probe — see q_dedup_minhash)
       val flag = Dedup.clusterAgreementFlag(truth,
         Dedup.clusters(Dedup.minhashPairs(docs, threshold = 0.5)),
-        bound = 0.7, name = "minhash_cluster_ok")
+        bound = 0.7, name = "minhash_cluster_ok", truthPairs = Some(truthN))
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
 
@@ -440,7 +452,10 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
             .select(col("doc_id").as("id"), col("text")),
           tau = 0.5, window = 200)
         .localCheckpoint(false)
-      val declared = Dedup.clusters(truth)
+      // ONE truth census shared by the CC route gate and the flag's tids
+      // broadcast gate (r15 — see q_dedup_clusters)
+      val truthN = truth.count()
+      val declared = Dedup.clusters(truth, knownCount = Some(truthN))
       // truth-restricted agreement (r12, VERDICT r11 item 1): on the
       // duplication-adversarial decades EVERY doc carries a label (d ≥ 2
       // copies ⇒ exact clique), so the r11 shape shuffled the 5 M-row
@@ -451,7 +466,8 @@ FROM reach GROUP BY src ORDER BY id""") { (s, d) =>
       // executes once (the flag stays genuinely at risk), value-identical
       val flag = Dedup.clusterAgreementFlag(truth,
         Dedup.clustersExactFirst(docs, threshold = 0.5),
-        bound = 0.7, name = "exact_first_cluster_ok")
+        bound = 0.7, name = "exact_first_cluster_ok",
+        truthPairs = Some(truthN))
       declared.crossJoin(broadcast(flag)).orderBy("id")
     },
 
@@ -628,9 +644,13 @@ ORDER BY id_a, id_b""") { (s, d) =>
       // lowercase, no short docs — asserted in TextSpec), so intersection
       // and set sizes — and therefore jaccard — are identical, while the
       // engine never materializes a gram string (machinery shared with
-      // the minhash/simhash truth frames: Dedup.exactJaccardWindowPairs)
+      // the minhash/simhash truth frames: Dedup.exactJaccardWindowPairs).
+      // r15: spread REVERTED (r14) — driver ground truth 0.72×, 8-core
+      // ratio 0.65 (PERF_r14.json; VERDICT r14 item 2): at window=5 the
+      // pair join is tiny, so the gram kernel no longer dominates the
+      // spread exchange the way the window=200 truth frames do.
       Dedup.exactJaccardWindowPairs(
-        Tables.spreadSmall(s, d, "documents")
+        Tables.documents(s, d)
           .select(col("doc_id").as("id"), col("text")),
         tau = 0.8, window = 5)
         .orderBy("id_a", "id_b")
@@ -720,11 +740,14 @@ FROM grams a JOIN grams b
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ORDER BY id_a, id_b""") { (s, d) =>
-      // spreadSmall parallelizes both the truth gram pass and the simhash
-      // word-explode signature pass (simhash hashes WORDS, not grams, so
-      // the gram frame itself cannot be shared with the candidates);
-      // kernels are `docs`' only consumers here, so spreading it is safe
-      val docs = Tables.spreadSmall(s, d, "documents")
+      // r15: spread REVERTED (r14 spread both the truth gram pass and the
+      // simhash word-explode signature pass) — driver ground truth 0.75×,
+      // 8-core ratio 0.64 (PERF_r14.json; VERDICT r14 item 2): the spread
+      // exchange feeds TWO consumers here (truth kernel + signature pass),
+      // and its re-execution per consumer outweighed the kernel win on the
+      // driver's host. (simhash hashes WORDS, not grams, so the gram frame
+      // itself cannot be shared with the candidates.)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id").as("id"), col("text"))
       val truth = Dedup.exactJaccardWindowPairs(docs, tau = 0.5, window = 200)
       val cand = Dedup.simhashPairs(docs, maxDist = 3)

@@ -80,15 +80,28 @@ object Tables {
     */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-  private def tableStats(s: SparkSession, d: String, name: String): (Long, Long) =
-    sizeCache.computeIfAbsent(s"$d/$name.parquet", path =>
+  private def tableStats(s: SparkSession, d: String, name: String): (Long, Long) = {
+    val path = s"$d/$name.parquet"
+    val cached = sizeCache.get(path)
+    if (cached != null) cached
+    else
       try {
         val p = new org.apache.hadoop.fs.Path(path)
         val cs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .getContentSummary(p)
-        (cs.getLength, cs.getFileCount)
-      } catch { case scala.util.control.NonFatal(_) =>
-        (Long.MaxValue, Long.MaxValue) })
+        val v = (cs.getLength, cs.getFileCount)
+        sizeCache.putIfAbsent(path, v)
+        v
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NOT cached (ADVICE r14): a transient FS error at first touch
+        // must not silently disable spreadSmall for the session lifetime —
+        // return the no-spread sentinel for this call only, and log once
+        // per call so a persistent no-spread decision is diagnosable
+        System.err.println(s"[tables] stats unavailable for $path " +
+          s"(spread disabled this call): $e")
+        (Long.MaxValue, Long.MaxValue)
+      }
+  }
 
   /** Natural key column per table — [[spreadSmall]]'s hash-partition key.
     * Keys are unique (or near-unique) longs, so hashing them spreads rows
@@ -145,8 +158,13 @@ object Tables {
     // overhead (q_dedup_minhash +2–7 s at sf10). A multi-file dir
     // parallelizes by file (single-row-group files never split further),
     // so spread only when the file count ALSO sits under the core count.
+    // keyless tables pass through untouched (ADVICE r14): spreadKey is a
+    // partial map, and a size-qualifying table without a natural key
+    // (region, nation) must not throw at plan-build time
     if (bytes < cores.toLong * openCost && files < cores.toLong)
-      df.repartition(cores, org.apache.spark.sql.functions.col(spreadKey(name)))
+      spreadKey.get(name)
+        .map(k => df.repartition(cores, org.apache.spark.sql.functions.col(k)))
+        .getOrElse(df)
     else df
   }
 

@@ -57,6 +57,16 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.normalizedTotal(80.0, -5.0) == 80.0)
   }
 
+  test("band-relative total gates on a positive committed reference") {
+    // VERDICT r13 item 1 / r14 item 5: total over the committed quiet
+    // reference's total_s — no host model, >1 = slower than the quiet
+    // band however caused. Missing reference (scale dirs) -> 0.0, like
+    // every other reference-gated field; never divides by zero.
+    assert(math.abs(Bench.bandRatio(73.3, 70.213) - 1.0440) < 1e-4)
+    assert(Bench.bandRatio(66.5, 0.0) == 0.0)
+    assert(Bench.bandRatio(66.5, -1.0) == 0.0)
+  }
+
   test("compact stdout line is short, parseable-shaped, and fits the tail window with the detail line") {
     // VERDICT r7 item 6: every BENCH_r{3..7}.json recorded "parsed": null
     // because the single budgeted line overflowed the driver's 2 KB tail.
@@ -68,14 +78,14 @@ class BenchJsonSpec extends AnyFunSuite {
     // pass count, and the contended flag all ride the always-parseable
     // line.
     val line = Bench.compactLine(73.299, 111, 2, 757.4, 63.1, 171.9,
-      165.2, 6.4, 2, contended = true, "/root/testdata/sf0.1")
+      165.2, 6.4, 2, contended = true, 1.044, "/root/testdata/sf0.1")
     assert(line.length < 300, s"compact line too long: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\",\"value\":73.299,"))
     for (k <- Seq("\"nq\":111", "\"nretried\":2", "\"spin_ms\":757.400",
         "\"membw_ms\":63.100", "\"membw_mt_ms\":171.900",
         "\"membw_mt_end_ms\":165.200", "\"fsmeta_ms\":6.400",
         "\"passes\":2", "\"contended\":true",
-        "\"value_normalized\":", "\"sf\":"))
+        "\"band_ratio\":1.044", "\"sf\":"))
       assert(line.contains(k), s"missing $k in $line")
     assert(line.count(_ == '"') % 2 == 0 && line.last == '}')
     // window arithmetic: both lines + sbt tail inside 2000 chars

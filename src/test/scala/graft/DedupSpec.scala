@@ -270,6 +270,88 @@ class DedupSpec extends SparkSpec {
       .collect().head.getBoolean(0))
   }
 
+  test("clusters: caller-censused route (knownCount) equals the self-censused form") {
+    // r15 census fusion (VERDICT r14 item 1): a caller that already
+    // checkpointed and counted its pair frame passes the count; the
+    // operator skips its own checkpoint + census. Labels must be
+    // identical on BOTH routes — knownCount only chooses routing, and
+    // the contract requires a checkpoint-backed frame with an exact
+    // count, which this fixture honors.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("id_a", "id_b").localCheckpoint(false)
+    val n = pairs.count()
+    val expected = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver route (n ≤ default cap) and distributed route (cap below n)
+    for (cap <- Seq(1L << 20, n - 1)) {
+      val got = Dedup.clusters(pairs, driverCap = cap,
+        knownCount = Some(n)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"driverCap=$cap")
+    }
+  }
+
+  test("agreement flag: fused truth census and LocalRelation gate equal the census-gated form") {
+    // r15 (VERDICT r14 item 1): (a) truthPairs=Some(n) skips the tids
+    // census — |tids| ≤ 2·|truth| bounds the broadcast instead; (b) a
+    // LocalRelation-backed assignment (the driver-route clusters output)
+    // under the cap skips the semi-join restriction and BOTH censuses.
+    // Each gated path must equal the self-censused flag on agreeing and
+    // disagreeing assignments.
+    import spark.implicits._
+    val dup = (0 until 3).map(i =>
+        corpus.select((col("id") + lit(i * 1000L)).as("id"), col("text")))
+      .reduce(_ unionByName _)
+    val truth = Dedup.exactJaccardWindowPairs(
+      dup.select(col("id"), col("text")), tau = 0.5, window = 200)
+      .localCheckpoint(false)
+    val truthN = truth.count()
+    assert(truthN >= 2, "fixture must plant truth pairs")
+    // LocalRelation assignment straight from the driver-route clusters
+    val goodLocal = Dedup.clusters(Dedup.minhashPairs(dup, threshold = 0.5))
+    assert({
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      goodLocal.queryExecution.analyzed match {
+        case _: LocalRelation | Project(_, _: LocalRelation) => true
+        case _                                               => false
+      }
+    }, "fixture must exercise the LocalRelation gate")
+    // the same labels with the gate defeated (checkpoint -> LogicalRDD)
+    val goodCk = goodLocal.localCheckpoint(false)
+    val badLocal = dup.select(col("id"), col("id").as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("id", "cluster")
+    val badCk = badLocal.localCheckpoint(false)
+    for (((gated, ungated), label) <- Seq(
+        (goodLocal, goodCk) -> "agreeing", (badLocal, badCk) -> "disagreeing")) {
+      val self = Dedup.clusterAgreementFlag(truth, ungated, 0.7, "ok")
+        .collect().head.getBoolean(0)
+      val localGate = Dedup.clusterAgreementFlag(truth, gated, 0.7, "ok")
+        .collect().head.getBoolean(0)
+      val fused = Dedup.clusterAgreementFlag(truth, ungated, 0.7, "ok",
+        truthPairs = Some(truthN)).collect().head.getBoolean(0)
+      assert(localGate == self, s"$label: LocalRelation gate diverged")
+      assert(fused == self, s"$label: fused truth census diverged")
+    }
+    // oversized truthPairs must fall back to the censused arm, same value
+    assert(Dedup.clusterAgreementFlag(truth, goodCk, 0.7, "ok",
+      truthPairs = Some(Long.MaxValue / 4)).collect().head.getBoolean(0) ==
+      Dedup.clusterAgreementFlag(truth, goodCk, 0.7, "ok")
+        .collect().head.getBoolean(0))
+  }
+
+  test("minhashSignaturesArr over gramHashSets is bitwise-identical to minhashSignatures") {
+    // ADVICE r14: the gramArr sharing plumbing guards a strong
+    // correctness claim (same filter, same expression, row-local
+    // explode) — pin it so re-enablement after an sf10 probe is safe.
+    val viaArr = Dedup.minhashSignaturesArr(Dedup.gramHashSets(corpus))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val direct = Dedup.minhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaArr == direct)
+  }
+
   test("embedding pairs: planted near-identical vectors found above a sharp threshold, orthogonal not paired") {
     import spark.implicits._
     // 21 is 20 + tiny noise (cosine ~0.9999); 22 is orthogonal to 20;

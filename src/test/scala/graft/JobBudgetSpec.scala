@@ -26,7 +26,7 @@ class JobBudgetSpec extends SparkSpec {
   // route census now counts the undirected pair frame, skipping the
   // exploded/distinct/dst-repartition edge build on the driver route).
   private val budget: Map[String, Int] = Map(
-    "q_dedup_clusters" -> 26,   // r10 oracle pairing: truth CC + minhash CC;
+    "q_dedup_clusters" -> 20,   // r10 oracle pairing: truth CC + minhash CC;
                                 // r12 re-record (+3): the truth frame's
                                 // eager gram-array checkpoint (TruthArrProbe
                                 // trade — kills the racing duplicate gram
@@ -38,7 +38,16 @@ class JobBudgetSpec extends SparkSpec {
                                 // r12 — robust to duplicated-label
                                 // callers), which also materializes its
                                 // checkpoint eagerly ahead of the two
-                                // consuming joins
+                                // consuming joins;
+                                // r15 re-record 26 -> 20 (VERDICT r14
+                                // item 1): ONE shared truth census routes
+                                // the CC call (knownCount skips clusters'
+                                // own checkpoint+census) and bounds the
+                                // flag's tids broadcast (truthPairs skips
+                                // the tids census); the flag's driver-
+                                // routed minhash assignment is a
+                                // LocalRelation, so its semi-join
+                                // restriction + small census are skipped
     "q_dedup_clusters_exact_first" -> 31, // r10 oracle pairing; r13 +2/+1
                                 // (flag small-census, see q_dedup_clusters)
     "q_dedup_pipeline_exact_first" -> 29, // r10 oracle pairing; r13

@@ -18,7 +18,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // single-row-group scans at bench SFs (one task -> cores) and vanishes at
   // scale; identical repartition subtrees dedup at runtime via
   // ReuseExchange, so a plan's +N Exchange nodes execute one extra
-  // round-robin pass. Per-query before/after seconds in OPTIMIZATION_r14.md.
+  // hash-on-natural-key pass (hash, NOT round-robin — no
+  // sort-before-repartition). Per-query before/after seconds in
+  // OPTIMIZATION_r14.md. r15 re-record: the five driver-regressed spread
+  // sites reverted (q_text_repetition, q_pivot, q_cube, q_dedup_simhash,
+  // q_dedup_ngram_jaccard — VERDICT r14 item 2), each -1 Exchange.
   private val budget: Map[String, Int] = Map(
     "coalesce_default" -> 1,
     "coord_truncate" -> 2,
@@ -36,7 +40,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_agg_distinct" -> 3,
     "q_agg_hash" -> 3,
     "q_array_funcs" -> 1,
-    "q_cube" -> 3,
+    "q_cube" -> 2, // r15: spread reverted (driver 0.78×), -1 Exchange
     "q_date_funcs" -> 2,
     // r10 re-record 1 -> 5: oracle pairing — the declared CC runs on the
     // truth edges (its internals still hide behind the operator's round
@@ -47,7 +51,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // join's BroadcastExchange (r7 re-record 4 -> 3: the census-gated
     // broadcast replaced the corpus-wide sort-merge-by-text — the sf1000
     // cell's dominant shuffle; CC internals hide behind checkpoints)
-    "q_dedup_clusters_exact_first" -> 7, // r10 oracle pairing — see q_dedup_clusters
+    "q_dedup_clusters_exact_first" -> 5, // r10 oracle pairing — see
+                                // q_dedup_clusters. r15 re-record 7 -> 5:
+                                // the fused truth census (truthPairs)
+                                // broadcasts the tids subplan directly —
+                                // its standalone checkpoint + census
+                                // exchanges left the visible plan
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
     // r10 re-record 4 -> 3: the oracle-paired form's VISIBLE plan is the
@@ -62,7 +71,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // moving (id, gram-hash) or pair-count rows instead of full gram-set
     // arrays; measured FASTER at sf0.1 (1.27 -> 1.08 s) and 3.2x cheaper
     // at the truth frames' window 200
-    "q_dedup_ngram_jaccard" -> 7,
+    "q_dedup_ngram_jaccard" -> 5, // r15: spread reverted (driver 0.72×);
+                                // the window self-join read the spread
+                                // exchange on both sides, so -2 plan nodes
     "q_dedup_pipeline" -> 6, // r10 oracle pairing — truth keep-join + two-arm flag broadcasts
     // exact-first: text-groupBy collapse + degenerate-branch scan + the
     // keep semi-join's BroadcastExchange (r7 re-record 5 -> 3: the
@@ -148,7 +159,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_percentile_approx" -> 10,
     "q_pipeline_decontaminate" -> 5,
     "q_pipeline_training_prep" -> 3,
-    "q_pivot" -> 4,
+    "q_pivot" -> 3, // r15: spread reverted (driver 0.62×), -1 Exchange
     "q_rollup" -> 6,
     "q_sample_hash" -> 1,
     "q_sample_mixture" -> 6,
@@ -173,7 +184,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     "q_text_quality" -> 1,
-    "q_text_repetition" -> 5,
+    "q_text_repetition" -> 3, // r15: spread reverted (driver 0.50×); both
+                                // explode consumers read it, so -2 plan nodes
     "q_text_stats" -> 2,
     // 8 = tf shuffle ×2 (the df-count branch re-derives tf — column
     // pruning specializes the subplans past ReuseExchange; the second
