@@ -110,7 +110,10 @@ FROM ranked WHERE rn <= 5 ORDER BY id_a, id_b""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 5)
       val lshd = Vectors.knnLshDeduped(emb, k = 5).filter(col("id_a") < 32)
-      Vectors.withRecallFlag(exact, lshd, 0.15, "lsh_dedup_recall_ok")
+      // bcastApprox: the deduped index's output carries an Aggregate, so
+      // the ≤ probes×k broadcast is plan-provably bounded (audit-clean)
+      Vectors.withRecallFlag(exact, lshd, 0.15, "lsh_dedup_recall_ok",
+        bcastApprox = true)
         .orderBy("id_a", "id_b")
     },
 
@@ -141,7 +144,10 @@ FROM ranked WHERE rn <= 10 ORDER BY id_a, id_b""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val exact = Vectors.knnBruteForceBatch(emb, col("vec_id") < 32, k = 10)
       val ivf = Vectors.knnIvfBatch(emb, col("vec_id") < 32, k = 10, nprobe = 2)
-      Vectors.withRecallFlag(exact, ivf, 0.12, "ivf_recall_ok")
+      // bcastApprox: the IVF batch's centroid Aggregate sits in the
+      // approx subtree, so the bounded broadcast is audit-clean
+      Vectors.withRecallFlag(exact, ivf, 0.12, "ivf_recall_ok",
+        bcastApprox = true)
         .orderBy("id_a", "id_b")
     },
 

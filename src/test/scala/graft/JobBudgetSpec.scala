@@ -53,9 +53,11 @@ class JobBudgetSpec extends SparkSpec {
     "q_dedup_pipeline_exact_first" -> 29, // r10 oracle pairing; r13
                                 // re-record at measured 32 (same change)
     "q_event_resample" -> 4,
-    "q_knn_ivf" -> 12,
+    "q_knn_ivf" -> 11,          // r15: bounded recall-flag broadcast
     "q_knn_lsh" -> 12,
-    "q_knn_lsh_dedup" -> 21,    // r10 oracle pairing: + exact batch & flag
+    "q_knn_lsh_dedup" -> 19,    // r10 oracle pairing: + exact batch & flag;
+                                // r15 re-record 21 -> 19 (census-gated rep
+                                // broadcasts + bounded flag broadcast)
     "q_ntile" -> 8,
     "q_ntile_approx" -> 19,
     "q_percentile" -> 17,

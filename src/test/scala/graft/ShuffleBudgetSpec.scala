@@ -114,7 +114,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // broadcast + per-probe window) and the flag join/window — every
     // added exchange moves only sample-bounded frames (≤ probes × k
     // rows), never the corpus
-    "q_knn_ivf" -> 12,
+    "q_knn_ivf" -> 11, // r15: bounded recall-flag broadcast, -1 Exchange
     "q_knn_lsh" -> 11,
     // dedup-before-index: rep-level bucket join + group ranking window +
     // rep-level candidate ranking + bounded-array expansion join; the
@@ -127,7 +127,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // r10 re-record 10 -> 15: oracle pairing composes the operator (10)
     // with the exact probe batch + recall-flag join/window (the q_knn_lsh
     // shape) — added exchanges move sample-bounded frames only
-    "q_knn_lsh_dedup" -> 15,
+    // r15 re-record 15 -> 14 (VERDICT r14 item 3): the census-gated rep
+    // broadcasts (bucket side, vector re-joins, group metadata) and the
+    // bounded recall-flag broadcast collapse shuffle pairs; jobs 21 -> 19
+    "q_knn_lsh_dedup" -> 14,
     "q_map_funcs" -> 2,
     "q_math_funcs" -> 1,
     "q_merge_upsert" -> 2,
